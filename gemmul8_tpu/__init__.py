@@ -1,0 +1,16 @@
+"""gemmul8-tpu: TPU-native high-precision GEMM emulation (Ozaki scheme II / CRT).
+
+Emulates SGEMM/DGEMM/CGEMM/ZGEMM on the TPU's int8 MXU with bit-reproducible
+results and a selectable num_moduli accuracy/speed dial. A from-scratch
+JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md).
+"""
+from . import tables
+from .config import GemmConfig, env_config
+from .core import gemm, matmul
+from .tables import Backend
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "gemm", "matmul", "Backend", "GemmConfig", "env_config", "tables",
+]

@@ -1,0 +1,54 @@
+"""Runtime configuration: env-var driven defaults, mirroring the reference hook's
+GEMMUL8_* environment contract (reference: src/hook.cu:20-38, 283-310).
+
+Env vars (read at call time from Python; unlike the CUDA hook these affect only
+calls made after a change because config participates in jit static args):
+
+  GEMMUL8_NUM_MOD_S / _D / _C / _Z : num_moduli per dtype (f32/f64/c64/c128)
+  GEMMUL8_FASTMODE_S / _D / _C / _Z: 1 = fast (norm-based shifts), 0 = accurate
+  GEMMUL8_BACKEND                  : INT8 (default) or FP8
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+
+from . import tables
+
+_DTYPE_SUFFIX = {"float32": "S", "float64": "D", "complex64": "C", "complex128": "Z"}
+
+#: out-of-range num_moduli falls through to the native (non-emulated) matmul,
+#: mirroring the hook's dlsym fallthrough (reference: hook.cu:625-629)
+NATIVE_FALLTHROUGH = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class GemmConfig:
+    num_moduli: int = 8
+    fastmode: bool = True
+    backend: str = tables.Backend.INT8
+
+    def validate(self, dtype_name: str) -> bool:
+        lo, hi = tables.VALID_RANGE[dtype_name]
+        return lo <= self.num_moduli <= hi
+
+
+def env_config(dtype_name: str) -> GemmConfig | None:
+    """Build a GemmConfig for `dtype_name` from GEMMUL8_* env vars.
+
+    Returns None (meaning: native fallthrough) if the configured num_moduli is
+    out of the valid range for the dtype, like the reference hook.
+    """
+    sfx = _DTYPE_SUFFIX[dtype_name]
+    nm = os.environ.get(f"GEMMUL8_NUM_MOD_{sfx}")
+    if nm is None:
+        return None
+    nm = int(nm)
+    cfg = GemmConfig(
+        num_moduli=nm,
+        fastmode=os.environ.get(f"GEMMUL8_FASTMODE_{sfx}", "1") not in ("0", "false"),
+        backend=os.environ.get("GEMMUL8_BACKEND", tables.Backend.INT8).upper(),
+    )
+    if not cfg.validate(dtype_name):
+        return None
+    return cfg

@@ -1,0 +1,205 @@
+"""Ozaki-scheme-II GEMM emulation driver: quantize -> batched int8 MXU matmuls ->
+modular reduce -> CRT reconstruction -> inverse scaling + alpha/beta epilogue.
+
+TPU-native re-design of the reference driver (reference: src/gemmul8_real.hpp:52-211,
+src/matmult.hpp, src/conv_hi2mid_real.hpp, src/inverse_scaling_real.hpp):
+
+  * the reference's per-modulus cublasGemmEx loop + N-column blocking becomes ONE
+    batched `lax.dot_general` (int8 x int8 -> int32) with the modulus axis as the
+    batch dimension -- XLA/Mosaic tiles it onto the MXU;
+  * workspace carve-up / handle machinery disappears (XLA manages buffers);
+  * K is unlimited (reference caps k <= 2^17, gemmul8.hpp:29): longer K is split
+    into chunks whose int32 products are reduced in residue space, which is exact
+    because residues add mod p;
+  * the CRT wrap uses an exact 26-bit split of P instead of CUDA fma (XLA exposes
+    no scalar fma), preserving the error-free cancellation structure.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import quantize, tables
+
+# int32 accumulation of int8 residue products is exact up to this K
+# (|r| <= 128 -> product <= 2^14; 2^14 * 2^17 = 2^31)
+K_CHUNK = 1 << 17
+
+_REAL_OF = {jnp.dtype("float32"): jnp.float32, jnp.dtype("float64"): jnp.float64}
+
+
+def residue_matmul(a_planes: jax.Array, b_planes: jax.Array) -> jax.Array:
+    """(nu, m, k) int8 @ (nu, k, n) int8 -> (nu, m, n) int32, exact.
+    This is the MXU-native analog of the reference's cublasGemmEx INT8 loop
+    (matmult.hpp:120-175): one error-free integer GEMM per modulus, batched."""
+    return jax.lax.dot_general(
+        a_planes, b_planes,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def mod_reduce(c_hi: jax.Array, num_moduli: int, backend: str) -> jax.Array:
+    """C_mid[i] = wrap(C_hi[i] mod p_i) -> int8 (reference: conv_hi2mid_real.hpp)."""
+    mods = tables.moduli(backend)[:num_moduli]
+    outs = []
+    for i, p in enumerate(mods):
+        r = c_hi[i] % p
+        r = jnp.where(2 * r >= p, r - p, r)
+        outs.append(r.astype(jnp.int8))
+    return jnp.stack(outs)
+
+
+def residue_gemm(a_planes: jax.Array, b_planes: jax.Array,
+                 num_moduli: int, backend: str) -> jax.Array:
+    """Full-K exact residue GEMM -> wrapped int8 C_mid (nu, m, n).
+
+    K > K_CHUNK is handled by chunking and summing partial products in residue
+    space (exact: residues are closed under addition mod p), lifting the
+    reference's k <= 2^17 limit."""
+    k = a_planes.shape[2]
+    if k <= K_CHUNK:
+        return mod_reduce(residue_matmul(a_planes, b_planes), num_moduli, backend)
+    mods = tables.moduli(backend)[:num_moduli]
+    n_chunks = -(-k // K_CHUNK)
+    acc = None
+    for ci in range(n_chunks):
+        sl = slice(ci * K_CHUNK, min((ci + 1) * K_CHUNK, k))
+        c_hi = residue_matmul(a_planes[:, :, sl], b_planes[:, sl, :])
+        part = jnp.stack([c_hi[i] % p for i, p in enumerate(mods)])
+        acc = part if acc is None else acc + part  # <= n_chunks * p, fits int32
+    outs = []
+    for i, p in enumerate(mods):
+        r = acc[i] % p
+        r = jnp.where(2 * r >= p, r - p, r)
+        outs.append(r.astype(jnp.int8))
+    return jnp.stack(outs)
+
+
+def crt_reconstruct(c_mid: jax.Array, num_moduli: int, backend: str,
+                    out_dtype) -> jax.Array:
+    """Fixed-order CRT accumulation + wrap (reference: inverse_scaling_real.hpp:8-89).
+
+    Returns f64 values of the reconstructed integers t, |t| < P/2 (before inverse
+    scaling). Uses double-double accumulation when the product of moduli exceeds
+    f64 (num_moduli > p_is_double and 64-bit output), exactly like the reference.
+    """
+    use_dd = (np.dtype(out_dtype).itemsize == 8) and \
+        (num_moduli > tables.p_is_double(backend))
+    invp = tables.invP(num_moduli, backend)
+    pa, pb, pc = tables.P_q26(num_moduli, backend)
+    planes = [c_mid[i].astype(jnp.float64) for i in range(num_moduli)]
+
+    if not use_dd:
+        qp = tables.qPi_f64(num_moduli, backend)
+        acc = qp[0] * planes[0]
+        for i in range(1, num_moduli):
+            acc = acc + qp[i] * planes[i]
+        quot = jnp.rint(invp * acc)
+        # t = P*quot + acc with Pa*quot exact (26-bit chunk x small int)
+        return ((pa * quot + acc) + pb * quot) + pc * quot
+
+    qp = tables.qPi_dd(num_moduli, backend)
+    hi = qp[0, 0] * planes[0]   # error-free: common-grid hi parts x int8 residues
+    lo = qp[0, 1] * planes[0]
+    for i in range(1, num_moduli):
+        hi = hi + qp[i, 0] * planes[i]
+        lo = lo + qp[i, 1] * planes[i]
+    quot = jnp.rint(invp * hi)
+    # ((Pa*q + hi) + Pb*q): exact cancellation on the common power-of-two grid;
+    # the low parts fold in with ordinary roundings (reference: fma(P.y, q, ...))
+    return ((pa * quot + hi) + pb * quot) + (lo + pc * quot)
+
+
+def inverse_scale(t: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
+                  out_dtype) -> jax.Array:
+    """Undo the power-of-two scaling: C = t * 2^-(sftA[i]+sftB[j]), computed in the
+    output dtype like the reference (inverse_scaling_real.hpp:72)."""
+    sft_sum = sft_a[:, None] + sft_b[None, :]
+    return quantize.pow2_scale(t.astype(out_dtype), -sft_sum)
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def _quantize_operands(a, b, num_moduli, fastmode, backend):
+    """Fast mode: independent norm-based shifts (scaling_fast_real.hpp).
+    Accurate mode: one extra int8 GEMM of 6-bit upper-bound extracts to estimate
+    the product magnitude per row/col (scaling_accu_real.hpp)."""
+    if fastmode:
+        sft_a = quantize.shift_fast(a, num_moduli, backend, reduce_axis=1)
+        sft_b = quantize.shift_fast(b, num_moduli, backend, reduce_axis=0)
+    else:
+        ub_a, pre_a = quantize.extract_ub_plane(a, backend, scale_axis=0)
+        ub_b, pre_b = quantize.extract_ub_plane(b, backend, scale_axis=1)
+        c_hi = jax.lax.dot_general(
+            ub_a, ub_b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        sft_a = quantize.shift_accu_from_chi(
+            jnp.max(c_hi, axis=1), pre_a, num_moduli, backend)
+        sft_b = quantize.shift_accu_from_chi(
+            jnp.max(c_hi, axis=0), pre_b, num_moduli, backend)
+    a_planes = quantize.encode_planes(a, sft_a, 0, num_moduli, backend)
+    b_planes = quantize.encode_planes(b, sft_b, 1, num_moduli, backend)
+    return a_planes, sft_a, b_planes, sft_b
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "trans_a", "trans_b", "has_c"))
+def _gemm_real(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
+               trans_a, trans_b, has_c):
+    if trans_a:
+        a = a.T
+    if trans_b:
+        b = b.T
+    out_dtype = a.dtype
+    a_planes, sft_a, b_planes, sft_b = _quantize_operands(
+        a, b, num_moduli, fastmode, backend)
+    c_mid = residue_gemm(a_planes, b_planes, num_moduli, backend)
+    t = crt_reconstruct(c_mid, num_moduli, backend, out_dtype)
+    ab = inverse_scale(t, sft_a, sft_b, out_dtype)
+    out = alpha.astype(out_dtype) * ab
+    if has_c:
+        out = out + beta.astype(out_dtype) * c
+    return out
+
+
+def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
+         fastmode: bool = True, backend: str = tables.Backend.INT8,
+         alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
+         trans_a: bool = False, trans_b: bool = False) -> jax.Array:
+    """Emulated high-precision GEMM: C = alpha * op(A) @ op(B) + beta * C.
+
+    Public analog of gemmul8::gemm (reference: include/gemmul8.hpp:41-94).
+    `num_moduli` dials accuracy vs speed (2..13 for f32, 2..20 for f64).
+    Results are bit-wise reproducible for fixed shapes/config on a platform.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.dtype != b.dtype:
+        raise TypeError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        from . import complex_gemm
+        return complex_gemm.gemm_complex(
+            a, b, num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+            alpha=alpha, beta=beta, c=c, trans_a=trans_a, trans_b=trans_b)
+    lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(
+            f"num_moduli={num_moduli} out of range [{lo},{hi}] for {a.dtype}")
+    has_c = c is not None
+    if not has_c:
+        c = jnp.zeros((), a.dtype)  # placeholder, unused
+    return _gemm_real(a, b, c, jnp.asarray(alpha), jnp.asarray(beta),
+                      num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+                      trans_a=trans_a, trans_b=trans_b, has_c=has_c)
+
+
+def matmul(a: jax.Array, b: jax.Array, **kw) -> jax.Array:
+    """NumPy-style convenience wrapper around :func:`gemm`."""
+    return gemm(a, b, **kw)

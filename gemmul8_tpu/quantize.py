@@ -1,0 +1,224 @@
+"""Power-of-two scaling + exact modular residue encoding (Ozaki scheme II).
+
+This is the TPU-native re-design of the reference's scaling/mod kernel family
+(reference: src/scaling.hpp, src/scaling_fast_real.hpp, src/scaling_accu_real.hpp,
+src/mod.hpp). Differences driven by TPU hardware:
+
+  * TPUs have no IEEE float64 ALU (XLA emulates f64 as a float32 double-word), no
+    64-bit bitcasts, and no directed-rounding modes. The residue encoder therefore
+    never touches 64-bit bit patterns: the scaled value y = x * 2^sft is peeled
+    into exact float32 components, each component is decomposed via a 32-bit
+    bitcast into (sign, 24-bit mantissa, exponent), and the residues of the
+    quantized integer v are assembled purely in int32 modular arithmetic using the
+    precomputed 2^j mod p table. This runs bit-identically on CPU and TPU.
+  * Directed roundings (__fadd_ru & co.) used by the reference's shift heuristics
+    are replaced by deterministic epsilon inflations that are conservative by at
+    least the platform's rounding error, so the anti-overflow guarantees hold.
+
+The quantized integer is v = floor(sum_j w_j) where w_j are the exact f32
+components of y; v differs from the reference's trunc(y) by at most 1 (deterministic),
+which only perturbs the quantization error term, never correctness: every modular
+plane is derived from the same v, so CRT reconstruction is exact for v.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables
+
+# round-up-biased half used by the reference for log2 terms (0x1.000006p-1)
+LOG2_HALF_RU = float.fromhex("0x1.000006p-1")
+# deterministic safety margin replacing CUDA directed roundings in shift formulas
+SFT_MARGIN = 2.0 ** -14
+# upper-bound extraction bit budget for accurate mode (reference template_type.hpp:147)
+MAX_UFP = {"INT8": 5, "FP8": 7}
+
+
+# ---------------------------------------------------------------------------
+# exact float helpers
+# ---------------------------------------------------------------------------
+
+def pow2(e: jax.Array, dtype) -> jax.Array:
+    """Exact 2^e by exponent-field bit assembly. XLA's exp2 is NOT exact (it
+    lowers to exp(x*ln2)), so it must never be used where exactness matters.
+    e must be within the normal exponent range of dtype."""
+    e = e.astype(jnp.int32)
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float32):
+        return jax.lax.bitcast_convert_type(((e + 127) << 23), jnp.float32)
+    hi = (e + 1023) << 20
+    lo = jnp.zeros_like(hi)
+    pair = jnp.stack([lo, hi], axis=-1)  # little-endian (lo, hi) int32 -> f64
+    return jax.lax.bitcast_convert_type(pair, jnp.float64)
+
+
+def pow2_scale(x: jax.Array, sft: jax.Array) -> jax.Array:
+    """x * 2^sft exactly (sft: int32, broadcastable). Split into two multiplies so
+    each 2^h stays in the normal range even when |sft| exceeds it."""
+    h1 = sft // 2
+    h2 = sft - h1
+    return (x * pow2(h1, x.dtype)) * pow2(h2, x.dtype)
+
+
+def f32_components(y: jax.Array, n_comp: int) -> list[jax.Array]:
+    """Peel y into exact float32 components c_0 >> c_1 >> ...; sum equals y
+    exactly for IEEE f64 when n_comp >= 3 (24*3 > 53), and reproduces the device
+    value exactly on TPU where f64 storage is already a float32 pair."""
+    if y.dtype == jnp.float32:
+        return [y]
+    comps = []
+    r = y
+    for j in range(n_comp):
+        c = r.astype(jnp.float32)
+        comps.append(c)
+        if j + 1 < n_comp:
+            r = r - c.astype(y.dtype)
+    return comps
+
+
+def f32_decompose(c: jax.Array):
+    """(sign ±1, mantissa int32 in [0, 2^24), unbiased exp) with value
+    sign * mant * 2^(exp-23). Subnormals: no implicit bit, exp = -126."""
+    bits = jax.lax.bitcast_convert_type(c, jnp.int32)
+    sign = jnp.where(bits < 0, jnp.int32(-1), jnp.int32(1))
+    expf = (bits >> 23) & 0xFF
+    frac = bits & 0x7FFFFF
+    is_norm = expf > 0
+    mant = jnp.where(is_norm, frac | (1 << 23), frac)
+    e = jnp.where(is_norm, expf - 127, jnp.int32(-126))
+    return sign, mant, e
+
+
+def ilogb(a: jax.Array) -> jax.Array:
+    """floor(log2(a)) for a > 0, exact via f32 bitcast when a is f32-normal;
+    f64-log2 fallback (with a conservative nudge) outside the f32 range.
+    Reference analog: Tilogb<float> (template_math.hpp)."""
+    a32 = a.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(a32, jnp.int32)
+    e32 = ((bits >> 23) & 0xFF) - 127
+    if a.dtype == jnp.float32:
+        return e32.astype(jnp.int32)
+    in_range = (a32 >= np.float32(2.0 ** -126)) & jnp.isfinite(a32) & (a32 > 0)
+    # fallback for f64 magnitudes outside f32's exponent range (CPU-only regime:
+    # TPU f64 emulation shares f32's exponent range anyway)
+    ef = jnp.floor(jnp.log2(jnp.maximum(a, jnp.asarray(np.finfo(a.dtype).tiny, a.dtype)))
+                   + 2.0 ** -32)
+    return jnp.where(in_range, e32, ef.astype(jnp.int32)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# shift computation (fast mode)  [reference: scaling_fast_real.hpp:6-22]
+# ---------------------------------------------------------------------------
+
+def shift_fast(x: jax.Array, num_moduli: int, backend: str, reduce_axis: int) -> jax.Array:
+    """Per-row (reduce_axis=1) or per-column (reduce_axis=0) quantization shift:
+    sft = floor(log2P - 1.5 - max(1, ~0.5*log2(sum x^2))) - ilogb(amax).
+    Returns int32 of shape x.shape without reduce_axis; zero rows get sft=0."""
+    ax = jnp.abs(x)
+    amax = jnp.max(ax, axis=reduce_axis)
+    E = ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
+    # overflow-safe norm: scale the row to ~[0,1] first (improves on the
+    # reference, whose f32 norm overflows for large-magnitude rows)
+    z = pow2_scale(ax, -jnp.expand_dims(E, reduce_axis))
+    s2 = jnp.sum(z * z, axis=reduce_axis)
+    log2vsum = jnp.log2(jnp.maximum(s2, jnp.asarray(np.finfo(s2.dtype).tiny, s2.dtype))
+                        ).astype(jnp.float32) + 2.0 * E.astype(jnp.float32)
+    log2vnrm = np.float32(LOG2_HALF_RU) * log2vsum
+    log2p = np.float32(tables.log2P(num_moduli, backend))
+    exp1 = (log2p - np.float32(1.5) - jnp.maximum(np.float32(1.0), log2vnrm)
+            - np.float32(SFT_MARGIN))
+    sft = jnp.floor(exp1).astype(jnp.int32) - E
+    return jnp.where(amax > 0, sft, jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# accurate mode: 6-bit upper-bound extraction + post-GEMM shifts
+# [reference: scaling_accu_real.hpp]
+# ---------------------------------------------------------------------------
+
+def extract_ub_plane(x: jax.Array, backend: str, scale_axis: int):
+    """ceil(|x| * 2^(maxUFP - ilogb(amax))) as int8 (values in [0, 2^maxUFP+1]),
+    plus the pre-shift. Upper bound of the reference's round-up extraction
+    (scaling_accu_real.hpp:46-74); the +tail term keeps it a true upper bound
+    without bit-exact f64 ceil."""
+    reduce_axis = 1 - scale_axis
+    ax = jnp.abs(x)
+    amax = jnp.max(ax, axis=reduce_axis)
+    E = ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
+    sft_pre = np.int32(MAX_UFP[backend]) - E
+    y = pow2_scale(ax, jnp.expand_dims(sft_pre, reduce_axis))
+    c1 = y.astype(jnp.float32)
+    tail = (y - c1.astype(y.dtype)) if y.dtype != jnp.float32 else jnp.zeros_like(c1)
+    ub = jnp.ceil(c1) + (tail.astype(jnp.float32) > 0)
+    ub = jnp.where(ax > 0, jnp.maximum(ub, 1.0), 0.0)
+    return ub.astype(jnp.int8), sft_pre
+
+
+def shift_accu_from_chi(c_hi_max: jax.Array, sft_pre: jax.Array,
+                        num_moduli: int, backend: str) -> jax.Array:
+    """Combine the upper-bound product magnitude with the pre-shift:
+    sft = sft_pre + floor(log2P - ~0.5*log2(max C_hi))
+    (reference: scaling_accu_real.hpp:6-11, 142-226; sign convention here is the
+    quantization shift, i.e. the negation of the reference's stored sft)."""
+    log2p = np.float32(tables.log2P(num_moduli, backend))
+    safe = jnp.maximum(c_hi_max, 1).astype(jnp.float32)
+    add = jnp.floor(log2p - np.float32(LOG2_HALF_RU) * jnp.log2(safe)
+                    - np.float32(SFT_MARGIN)).astype(jnp.int32)
+    return sft_pre + add
+
+
+# ---------------------------------------------------------------------------
+# residue-plane encoding
+# ---------------------------------------------------------------------------
+
+def _n_comp(dtype) -> int:
+    return 1 if dtype == jnp.float32 else 3
+
+
+def encode_planes(x: jax.Array, sft: jax.Array, scale_axis: int,
+                  num_moduli: int, backend: str) -> jax.Array:
+    """Quantize x with per-row/col shifts and emit all residue planes.
+
+    Args:
+      x: (m, k) [scale_axis=0: shift per row] or (k, n) [scale_axis=1: per col].
+      sft: int32 quantization shifts, shape = x.shape[scale_axis].
+    Returns:
+      int8 planes of shape (num_moduli, *x.shape): plane i = wrap(v mod p_i),
+      where v = floor-quantized x * 2^sft (see module docstring).
+    """
+    mods = tables.moduli(backend)[:num_moduli]
+    p2m = tables.mod_pow2(backend)  # (20, MAX_EXP+1) int32 numpy
+    reduce_axis = 1 - scale_axis
+    y = pow2_scale(x, jnp.expand_dims(sft, reduce_axis))
+    comps = f32_components(y, _n_comp(x.dtype))
+
+    # per-component integer/fraction split (shared across all moduli)
+    parts = []
+    G = jnp.zeros(y.shape, jnp.float32)
+    for c in comps:
+        s, m, e = f32_decompose(c)
+        d = e - 23                      # value = s * m * 2^d
+        sig = jnp.clip(-d, 0, 31)
+        m_int = m >> sig                # integer magnitude contribution
+        dpos = jnp.minimum(jnp.maximum(d, 0), tables.MAX_EXP)
+        mfrac = m - (m_int << sig)
+        frac = mfrac.astype(jnp.float32) * pow2(jnp.maximum(d, -30), jnp.float32)
+        frac = jnp.where(-d > 30, jnp.abs(c), frac)  # whole component below 2^-6
+        G = G + s.astype(jnp.float32) * frac
+        parts.append((s, m_int, dpos))
+    g = jnp.floor(G).astype(jnp.int32)   # joint carry of the fractional parts
+
+    planes = []
+    for i, p in enumerate(mods):
+        row = jnp.asarray(p2m[i])        # (MAX_EXP+1,) wrapped powers of two mod p
+        acc = g
+        for s, m_int, dpos in parts:
+            pw = jnp.take(row, dpos, axis=0)
+            acc = acc + s * (m_int % p) * pw
+        r = acc % p                       # in [0, p)
+        r = jnp.where(2 * r >= p, r - p, r)  # wrap to [-p/2, p/2); 128 -> -128 for p=256
+        planes.append(r.astype(jnp.int8))
+    return jnp.stack(planes)

@@ -1,0 +1,17 @@
+"""Test config: CPU backend with 8 virtual devices (for sharding tests) and x64.
+
+Note: this image's sitecustomize registers a TPU PJRT plugin at interpreter boot
+and pins JAX_PLATFORMS=axon, so we must override via jax.config (env vars set
+here would be too late).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

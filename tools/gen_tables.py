@@ -137,7 +137,7 @@ def build_backend(moduli: list[int], p_is_double: int) -> dict:
     ]
 
     P_dd, invP, log2P = [], [], []
-    P_f32x4, invP_f32 = [], []
+    P_q26, P_f32x4, invP_f32 = [], [], []
     qPi_1, qPi_2, qPi_f32x4 = [], [], []
     rho_list = []
 
@@ -150,6 +150,18 @@ def build_backend(moduli: list[int], p_is_double: int) -> dict:
         lo = rn_f64(Fraction(-P) - Fraction(hi))
         P_dd.append((hi, lo))
         P_f32x4.append(f32_expansion(Fraction(-P), 4))
+
+        # 26-bit chunk split of -P: Pa, Pb are exact 26-bit slices (so Pa*q and
+        # Pb*q are exact f64 products for integer q < 2^26), Pc = RN(rest).
+        # Used for the fma-free CRT wrap (XLA has no scalar fma primitive).
+        bl = P.bit_length()
+        sa = max(bl - 26, 0)
+        pa = (P >> sa) << sa
+        sb = max(bl - 52, 0)
+        pb = ((P - pa) >> sb) << sb
+        pc = rn_f64(Fraction(-(P - pa - pb)))
+        assert float(-pa) == -pa and float(-pb) == -pb
+        P_q26.append((float(-pa), float(-pb), pc))
 
         invP.append(rn_f64(Fraction(1, P)))
         invP_f32.append(rn_f32(Fraction(1, P)))
@@ -198,7 +210,7 @@ def build_backend(moduli: list[int], p_is_double: int) -> dict:
         qPi_f32x4.append(q4_row)
 
     out.update(
-        P_dd=P_dd, invP=invP, log2P=log2P, qPi_1=qPi_1, qPi_2=qPi_2,
+        P_dd=P_dd, P_q26=P_q26, invP=invP, log2P=log2P, qPi_1=qPi_1, qPi_2=qPi_2,
         P_f32x4=P_f32x4, invP_f32=invP_f32, qPi_f32x4=qPi_f32x4,
         rho=rho_list, p_is_double=p_is_double,
     )
@@ -253,7 +265,7 @@ def main():
         lines.append(f"RHO_{bk} = {t['rho']}")
         for name in ("mod_pow2",):
             lines.append(f"MOD_POW2_{bk} = {emit_py(t[name], 4)}")
-        for name in ("P_dd", "invP", "log2P", "qPi_1", "qPi_2",
+        for name in ("P_dd", "P_q26", "invP", "log2P", "qPi_1", "qPi_2",
                      "P_f32x4", "invP_f32", "qPi_f32x4"):
             lines.append(f"{name.upper()}_{bk} = {emit_py(t[name], 4)}")
         lines.append("")
