@@ -1,0 +1,155 @@
+"""Complex GEMM emulation (CGEMM/ZGEMM) via the 3M scheme in residue space.
+
+TPU-native analog of the reference complex path (reference: src/gemmul8_complex.hpp,
+src/scaling_fast_complex.hpp, src/conv_hi2mid_complex.hpp,
+src/inverse_scaling_complex.hpp):
+
+  * each operand emits THREE residue plane sets per modulus -- Re, Im and
+    (Re+Im) mod p -- with a SHARED per-row/col shift computed from
+    max(|Re|, |Im|) and the norm sum |Re|^2+|Im|^2 (mod.hpp:315-326,
+    template_math.hpp:106-107);
+  * 3 integer GEMMs per modulus (batched here as one 3*nu-batch dot_general):
+    Crr = Ar.Br, Cii = Ai.Bi, Crii = (Ar+Ai).(Br+Bi);
+  * 3M recombination in residue space: Re = Crr - Cii, Im = Crii - Crr - Cii
+    (all mod p) -- conv_hi2mid_complex.hpp:9-40;
+  * conjugation ('C' op) is folded into quantization by negating the imaginary
+    lane (scaling_fast_complex.hpp:33, conj<T,CONJ>).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import core, quantize, tables
+
+_REAL_DTYPE = {np.dtype("complex64"): jnp.float32, np.dtype("complex128"): jnp.float64}
+
+
+def _ri_plane(re_planes, im_planes, num_moduli, backend):
+    """Third plane set: wrap((re + im) mod p) from the int8 residue planes."""
+    mods = tables.moduli(backend)[:num_moduli]
+    outs = []
+    for i, p in enumerate(mods):
+        s = re_planes[i].astype(jnp.int32) + im_planes[i].astype(jnp.int32)
+        r = s % p
+        r = jnp.where(2 * r >= p, r - p, r)
+        outs.append(r.astype(jnp.int8))
+    return jnp.stack(outs)
+
+
+def _quantize_complex(x, sft, scale_axis, num_moduli, backend, conj):
+    re = jnp.real(x)
+    im = -jnp.imag(x) if conj else jnp.imag(x)
+    pr = quantize.encode_planes(re, sft, scale_axis, num_moduli, backend)
+    pi = quantize.encode_planes(im, sft, scale_axis, num_moduli, backend)
+    pri = _ri_plane(pr, pi, num_moduli, backend)
+    return jnp.concatenate([pr, pi, pri], axis=0)  # (3*nu, ...)
+
+
+def _shift_complex_fast(x, num_moduli, backend, reduce_axis):
+    """Shared shift from the lane-stacked array: amax = max(|re|,|im|) and
+    norm^2 = sum(re^2 + im^2), exactly the reference's complex reduction."""
+    stacked = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=reduce_axis)
+    return quantize.shift_fast(stacked, num_moduli, backend, reduce_axis)
+
+
+def _recombine_3m(c_hi, num_moduli, backend):
+    """(3*nu, m, n) int32 -> (2, nu, m, n) int8 wrapped residues of (Re, Im).
+    Each product is mod-reduced BEFORE combining so intermediates stay tiny."""
+    mods = tables.moduli(backend)[:num_moduli]
+    out_r, out_i = [], []
+    for i, p in enumerate(mods):
+        crr = c_hi[i] % p
+        cii = c_hi[num_moduli + i] % p
+        cri = c_hi[2 * num_moduli + i] % p
+        re = (crr - cii) % p
+        im = (cri - crr - cii) % p
+        re = jnp.where(2 * re >= p, re - p, re)
+        im = jnp.where(2 * im >= p, im - p, im)
+        out_r.append(re.astype(jnp.int8))
+        out_i.append(im.astype(jnp.int8))
+    return jnp.stack(out_r), jnp.stack(out_i)
+
+
+def _shift_complex_accu(a, b, num_moduli, backend):
+    """Accurate mode: upper-bound extraction on |re|+|im| (a single int8 GEMM
+    bounding all four lane products at once; conservative variant of the
+    reference's three-GEMM estimate, scaling_accu_complex.hpp)."""
+    mag_a = jnp.abs(jnp.real(a)) + jnp.abs(jnp.imag(a))
+    mag_b = jnp.abs(jnp.real(b)) + jnp.abs(jnp.imag(b))
+    ub_a, pre_a = quantize.extract_ub_plane(mag_a, backend, scale_axis=0)
+    ub_b, pre_b = quantize.extract_ub_plane(mag_b, backend, scale_axis=1)
+    c_hi = jax.lax.dot_general(
+        ub_a, ub_b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    sft_a = quantize.shift_accu_from_chi(
+        jnp.max(c_hi, axis=1), pre_a, num_moduli, backend)
+    sft_b = quantize.shift_accu_from_chi(
+        jnp.max(c_hi, axis=0), pre_b, num_moduli, backend)
+    return sft_a, sft_b
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "op_a", "op_b", "has_c"))
+def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
+               op_a, op_b, has_c):
+    if op_a in ("T", "C"):
+        a = a.T
+    if op_b in ("T", "C"):
+        b = b.T
+    out_dtype = a.dtype
+    real_dt = _REAL_DTYPE[np.dtype(out_dtype)]
+
+    if fastmode:
+        sft_a = _shift_complex_fast(a, num_moduli, backend, reduce_axis=1)
+        sft_b = _shift_complex_fast(b, num_moduli, backend, reduce_axis=0)
+    else:
+        sft_a, sft_b = _shift_complex_accu(a, b, num_moduli, backend)
+
+    pa = _quantize_complex(a, sft_a, 0, num_moduli, backend, conj=(op_a == "C"))
+    pb = _quantize_complex(b, sft_b, 1, num_moduli, backend, conj=(op_b == "C"))
+    c_hi = core.residue_matmul(pa, pb)  # (3*nu, m, n) int32, exact
+    mid_r, mid_i = _recombine_3m(c_hi, num_moduli, backend)
+    t_r = core.crt_reconstruct(mid_r, num_moduli, backend, real_dt)
+    t_i = core.crt_reconstruct(mid_i, num_moduli, backend, real_dt)
+    ab_r = core.inverse_scale(t_r, sft_a, sft_b, real_dt)
+    ab_i = core.inverse_scale(t_i, sft_a, sft_b, real_dt)
+    ab = jax.lax.complex(ab_r, ab_i).astype(out_dtype)
+    out = alpha.astype(out_dtype) * ab
+    if has_c:
+        out = out + beta.astype(out_dtype) * c
+    return out
+
+
+def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
+                 fastmode: bool = True, backend: str = tables.Backend.INT8,
+                 alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
+                 trans_a="N", trans_b="N") -> jax.Array:
+    """Emulated complex GEMM: C = alpha * op(A) @ op(B) + beta * C with
+    op in {N, T, C} (C = conjugate transpose). Public analog of the reference's
+    cgemm/zgemm entry points (gemmul8.cu:126-134)."""
+    def _norm_op(t):
+        if t is True:
+            return "T"
+        if t is False or t is None:
+            return "N"
+        t = str(t).upper()
+        if t not in ("N", "T", "C"):
+            raise ValueError(f"bad op {t!r}")
+        return t
+
+    op_a, op_b = _norm_op(trans_a), _norm_op(trans_b)
+    name = np.dtype(a.dtype).name
+    lo, hi = tables.VALID_RANGE[name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}] for {name}")
+    has_c = c is not None
+    if not has_c:
+        c = jnp.zeros((), a.dtype)
+    return _gemm_cplx(a, b, c, jnp.asarray(alpha), jnp.asarray(beta),
+                      num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+                      op_a=op_a, op_b=op_b, has_c=has_c)

@@ -192,6 +192,9 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
     if not lo <= num_moduli <= hi:
         raise ValueError(
             f"num_moduli={num_moduli} out of range [{lo},{hi}] for {a.dtype}")
+    # accept BLAS-style "N"/"T"/"C" ops as well as bools ("C" == "T" for reals)
+    trans_a = trans_a if isinstance(trans_a, bool) else str(trans_a).upper() in ("T", "C")
+    trans_b = trans_b if isinstance(trans_b, bool) else str(trans_b).upper() in ("T", "C")
     has_c = c is not None
     if not has_c:
         c = jnp.zeros((), a.dtype)  # placeholder, unused

@@ -1,0 +1,98 @@
+"""Complex GEMM emulation (3M residue scheme): accuracy, ops N/T/C, alpha/beta,
+reproducibility. (Reference strategy: debug/test.cu complex sweeps.)"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gemmul8_tpu as g8
+from oracle import max_median_relerr, phi_matrix
+
+RNG = np.random.default_rng(54321)
+
+
+def cplx(m, n, phi, dtype=np.complex128):
+    re = phi_matrix(RNG, m, n, phi)
+    im = phi_matrix(RNG, m, n, phi)
+    return (re + 1j * im).astype(dtype)
+
+
+def ld_matmul(a, b):
+    ar, ai = np.real(a).astype(np.longdouble), np.imag(a).astype(np.longdouble)
+    br, bi = np.real(b).astype(np.longdouble), np.imag(b).astype(np.longdouble)
+    return (ar @ br - ai @ bi) + 1j * (ar @ bi + ai @ br)
+
+
+def relerr(c, ref):
+    num = np.abs(np.asarray(c, np.clongdouble) - ref)
+    den = np.maximum(np.abs(ref), np.longdouble(1e-300))
+    return float(np.max(num / den))
+
+
+def test_zgemm_accuracy_curve():
+    m, k, n = 32, 256, 24
+    a, b = cplx(m, k, 0.5), cplx(k, n, 0.5)
+    ref = ld_matmul(a, b)
+    native = relerr(a @ b, ref)
+    errs = {}
+    for nu in (8, 12, 16):
+        c = g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=nu)
+        assert c.dtype == jnp.complex128
+        errs[nu] = relerr(np.asarray(c), ref)
+    assert errs[12] < errs[8] / 100
+    assert errs[16] <= native * 4
+
+
+def test_cgemm_accuracy():
+    m, k, n = 32, 256, 24
+    a = cplx(m, k, 0.0, np.complex64)
+    b = cplx(k, n, 0.0, np.complex64)
+    ref = ld_matmul(a, b)
+    native = relerr(a @ b, ref)
+    c = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=8))
+    assert c.dtype == np.complex64
+    assert relerr(c, ref) < native / 2
+
+
+def test_ops_n_t_c():
+    m, k, n = 16, 48, 12
+    a, b = cplx(m, k, 0.0), cplx(k, n, 0.0)
+    base = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=16))
+    t = np.asarray(g8.gemm(jnp.asarray(a.T.copy()), jnp.asarray(b.T.copy()),
+                           num_moduli=16, trans_a="T", trans_b="T"))
+    np.testing.assert_array_equal(t, base)
+    # conjugate-transpose: op(A) = A^H
+    ch = np.asarray(g8.gemm(jnp.asarray(a.conj().T.copy()),
+                            jnp.asarray(b.conj().T.copy()),
+                            num_moduli=16, trans_a="C", trans_b="C"))
+    np.testing.assert_array_equal(ch, base)
+
+
+def test_complex_alpha_beta():
+    m, k, n = 16, 64, 16
+    a, b, c0 = cplx(m, k, 0.0), cplx(k, n, 0.0), cplx(m, n, 0.0)
+    alpha, beta = 1.5 - 0.5j, -0.25 + 2.0j
+    base = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=16))
+    out = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=16,
+                             alpha=alpha, beta=beta, c=jnp.asarray(c0)))
+    np.testing.assert_allclose(out, alpha * base + beta * c0, rtol=1e-12, atol=1e-14)
+
+
+def test_complex_exact_short_mantissa():
+    a = (RNG.integers(-2**10, 2**10, (8, 32)) +
+         1j * RNG.integers(-2**10, 2**10, (8, 32))).astype(np.complex128)
+    b = (RNG.integers(-2**10, 2**10, (32, 8)) +
+         1j * RNG.integers(-2**10, 2**10, (32, 8))).astype(np.complex128)
+    c = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=10))
+    np.testing.assert_array_equal(c, a @ b)
+
+
+def test_complex_reproducibility_and_accu():
+    a, b = cplx(16, 128, 1.0), cplx(128, 16, 1.0)
+    c1 = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=9))
+    c2 = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=9))
+    assert np.array_equal(c1.view(np.int64), c2.view(np.int64))
+    ref = ld_matmul(a, b)
+    cacc = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=9,
+                              fastmode=False))
+    # accurate mode beats fast mode at equal num_moduli
+    assert relerr(cacc, ref) < relerr(c1, ref) / 2
