@@ -6,11 +6,14 @@ JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md
 """
 from . import tables
 from .config import GemmConfig, env_config
-from .core import gemm, matmul
+from .core import QuantizedOperand, gemm, gemm_quantized, matmul, precompute
+from .hook import emulate, install, refresh, uninstall
 from .tables import Backend
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "gemm", "matmul", "Backend", "GemmConfig", "env_config", "tables",
+    "gemm", "matmul", "gemm_quantized", "precompute", "QuantizedOperand",
+    "Backend", "GemmConfig", "env_config", "tables",
+    "emulate", "install", "refresh", "uninstall",
 ]

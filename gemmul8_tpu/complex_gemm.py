@@ -93,14 +93,11 @@ def _shift_complex_accu(a, b, num_moduli, backend):
     return sft_a, sft_b
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "num_moduli", "fastmode", "backend", "op_a", "op_b", "has_c"))
-def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
-               op_a, op_b, has_c):
-    if op_a in ("T", "C"):
-        a = a.T
-    if op_b in ("T", "C"):
-        b = b.T
+def emulate_matmul_complex(a: jax.Array, b: jax.Array, *, num_moduli: int,
+                           fastmode: bool = True,
+                           backend: str = tables.Backend.INT8,
+                           conj_a: bool = False, conj_b: bool = False) -> jax.Array:
+    """Pure traceable emulated op(A) @ op(B) for complex operands (no epilogue)."""
     out_dtype = a.dtype
     real_dt = _REAL_DTYPE[np.dtype(out_dtype)]
 
@@ -110,15 +107,29 @@ def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
     else:
         sft_a, sft_b = _shift_complex_accu(a, b, num_moduli, backend)
 
-    pa = _quantize_complex(a, sft_a, 0, num_moduli, backend, conj=(op_a == "C"))
-    pb = _quantize_complex(b, sft_b, 1, num_moduli, backend, conj=(op_b == "C"))
+    pa = _quantize_complex(a, sft_a, 0, num_moduli, backend, conj=conj_a)
+    pb = _quantize_complex(b, sft_b, 1, num_moduli, backend, conj=conj_b)
     c_hi = core.residue_matmul(pa, pb)  # (3*nu, m, n) int32, exact
     mid_r, mid_i = _recombine_3m(c_hi, num_moduli, backend)
     t_r = core.crt_reconstruct(mid_r, num_moduli, backend, real_dt)
     t_i = core.crt_reconstruct(mid_i, num_moduli, backend, real_dt)
     ab_r = core.inverse_scale(t_r, sft_a, sft_b, real_dt)
     ab_i = core.inverse_scale(t_i, sft_a, sft_b, real_dt)
-    ab = jax.lax.complex(ab_r, ab_i).astype(out_dtype)
+    return jax.lax.complex(ab_r, ab_i).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "op_a", "op_b", "has_c"))
+def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
+               op_a, op_b, has_c):
+    if op_a in ("T", "C"):
+        a = a.T
+    if op_b in ("T", "C"):
+        b = b.T
+    out_dtype = a.dtype
+    ab = emulate_matmul_complex(a, b, num_moduli=num_moduli, fastmode=fastmode,
+                                backend=backend, conj_a=(op_a == "C"),
+                                conj_b=(op_b == "C"))
     out = alpha.astype(out_dtype) * ab
     if has_c:
         out = out + beta.astype(out_dtype) * c

@@ -149,6 +149,19 @@ def _quantize_operands(a, b, num_moduli, fastmode, backend):
     return a_planes, sft_a, b_planes, sft_b
 
 
+def emulate_matmul(a: jax.Array, b: jax.Array, *, num_moduli: int,
+                   fastmode: bool = True,
+                   backend: str = tables.Backend.INT8) -> jax.Array:
+    """Pure traceable emulated A @ B (no epilogue): the composable building block
+    used by gemm(), the dot_general hook (vmap-able) and the distributed layer."""
+    out_dtype = a.dtype
+    a_planes, sft_a, b_planes, sft_b = _quantize_operands(
+        a, b, num_moduli, fastmode, backend)
+    c_mid = residue_gemm(a_planes, b_planes, num_moduli, backend)
+    t = crt_reconstruct(c_mid, num_moduli, backend, out_dtype)
+    return inverse_scale(t, sft_a, sft_b, out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_moduli", "fastmode", "backend", "trans_a", "trans_b", "has_c"))
 def _gemm_real(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
@@ -158,11 +171,8 @@ def _gemm_real(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
     if trans_b:
         b = b.T
     out_dtype = a.dtype
-    a_planes, sft_a, b_planes, sft_b = _quantize_operands(
-        a, b, num_moduli, fastmode, backend)
-    c_mid = residue_gemm(a_planes, b_planes, num_moduli, backend)
-    t = crt_reconstruct(c_mid, num_moduli, backend, out_dtype)
-    ab = inverse_scale(t, sft_a, sft_b, out_dtype)
+    ab = emulate_matmul(a, b, num_moduli=num_moduli, fastmode=fastmode,
+                        backend=backend)
     out = alpha.astype(out_dtype) * ab
     if has_c:
         out = out + beta.astype(out_dtype) * c
@@ -206,3 +216,64 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
 def matmul(a: jax.Array, b: jax.Array, **kw) -> jax.Array:
     """NumPy-style convenience wrapper around :func:`gemm`."""
     return gemm(a, b, **kw)
+
+
+# ---------------------------------------------------------------------------
+# precomputed operands: the skip-scal analog
+# ---------------------------------------------------------------------------
+
+class QuantizedOperand:
+    """Precomputed residue planes + shifts for one operand; reuse across many
+    GEMMs with the other side varying. JAX-native analog of the reference's
+    enable_skip_scal / workA/workB reuse and the hook's pointer-identity
+    skip-cache (reference: README.md:216-256, hook.cu:87-107).
+
+    A pytree: flows through jit/vmap boundaries."""
+
+    def __init__(self, planes, sft, side, num_moduli, fastmode, backend):
+        self.planes = planes          # (nu, m, k) or (nu, k, n) int8
+        self.sft = sft                # int32 shifts
+        self.side = side              # "A" (row-scaled) or "B" (col-scaled)
+        self.num_moduli = num_moduli
+        self.fastmode = fastmode
+        self.backend = backend
+
+    def tree_flatten(self):
+        return (self.planes, self.sft), (self.side, self.num_moduli,
+                                         self.fastmode, self.backend)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedOperand, QuantizedOperand.tree_flatten, QuantizedOperand.tree_unflatten)
+
+
+def precompute(x: jax.Array, side: str, *, num_moduli: int = 8,
+               backend: str = tables.Backend.INT8) -> QuantizedOperand:
+    """Quantize one operand once (fast-mode shifts) for reuse. side="A" scales
+    rows of an (m, k) operand; side="B" scales columns of a (k, n) operand."""
+    scale_axis = 0 if side == "A" else 1
+    sft = quantize.shift_fast(x, num_moduli, backend, reduce_axis=1 - scale_axis)
+    planes = quantize.encode_planes(x, sft, scale_axis, num_moduli, backend)
+    return QuantizedOperand(planes, sft, side, num_moduli, True, backend)
+
+
+@functools.partial(jax.jit, static_argnames=("num_moduli", "backend", "out_dtype"))
+def _gemm_q(pa, sa, pb, sb, *, num_moduli, backend, out_dtype):
+    c_mid = residue_gemm(pa, pb, num_moduli, backend)
+    t = crt_reconstruct(c_mid, num_moduli, backend, out_dtype)
+    return inverse_scale(t, sa, sb, jnp.dtype(out_dtype))
+
+
+def gemm_quantized(qa: QuantizedOperand, qb: QuantizedOperand,
+                   out_dtype=jnp.float64) -> jax.Array:
+    """GEMM from two precomputed operands (both quantization phases skipped,
+    like skip_scalA && skip_scalB in the reference, gemmul8_real.hpp:123)."""
+    assert qa.side == "A" and qb.side == "B"
+    assert qa.num_moduli == qb.num_moduli and qa.backend == qb.backend
+    return _gemm_q(qa.planes, qa.sft, qb.planes, qb.sft,
+                   num_moduli=qa.num_moduli, backend=qa.backend,
+                   out_dtype=jnp.dtype(out_dtype).name)

@@ -1,0 +1,198 @@
+"""Transparent dot_general interposer ("hook mode").
+
+The TPU-native equivalent of the reference's LD_PRELOAD cuBLAS interposer
+(reference: src/hook.cu:609-730, 846-1055). Instead of intercepting dynamic
+symbols, we wrap the `dot_general` PRIMITIVE's bind -- the single funnel through
+which every JAX matmul flows (jnp.matmul / jnp.dot / jnp.einsum / flax / user
+lax.dot_general calls, including default-parameter-bound references that module
+patching cannot reach). Eligible f32/f64/c64/c128 contractions are rerouted to
+the Ozaki-II emulator at trace time.
+
+Config mirrors the env-var contract (GEMMUL8_NUM_MOD_{S,D,C,Z}, GEMMUL8_FASTMODE_*,
+GEMMUL8_BACKEND; reference hook.cu:20-38) with optional explicit overrides.
+Out-of-range num_moduli falls through to the native dot_general (hook.cu:625-629).
+Arbitrary dimension_numbers are canonicalized to a batched (B, M, K) x (B, K, N)
+contraction and vmapped. Hooked matmuls remain DIFFERENTIABLE: a custom VJP
+routes the backward GEMMs through the emulator too.
+
+Semantics note (vs the binary interposer): interception happens when a function
+is TRACED. install()/uninstall() clear jit caches so prior traces don't leak;
+after changing GEMMUL8_* env vars call refresh() (the reference re-reads env
+every call; under XLA the config is baked into the compiled executable).
+"""
+from __future__ import annotations
+
+import contextlib
+import functools
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import complex_gemm, config, core
+
+_ELIGIBLE = {"float32", "float64", "complex64", "complex128"}
+
+_state = threading.local()
+
+
+def _st():
+    if not hasattr(_state, "depth"):
+        _state.depth = 0
+        _state.overrides = None
+    return _state
+
+
+def _primitive():
+    from jax._src.lax import lax as lax_impl
+    return lax_impl.dot_general_p
+
+
+_orig_bind = None
+_installed = False
+
+
+@functools.lru_cache(maxsize=None)
+def _emulated_2d(cfg: config.GemmConfig, is_complex: bool):
+    """Differentiable emulated 2D matmul for a fixed config (cached)."""
+    if is_complex:
+        def base(a, b):
+            return complex_gemm.emulate_matmul_complex(
+                a, b, num_moduli=cfg.num_moduli, fastmode=cfg.fastmode,
+                backend=cfg.backend)
+    else:
+        def base(a, b):
+            return core.emulate_matmul(
+                a, b, num_moduli=cfg.num_moduli, fastmode=cfg.fastmode,
+                backend=cfg.backend)
+
+    @jax.custom_vjp
+    def f(a, b):
+        return base(a, b)
+
+    def fwd(a, b):
+        return base(a, b), (a, b)
+
+    def bwd(res, g):
+        a, b = res
+        # d(A@B): dA = g @ B^H, dB = A^H @ g -- emulated as well
+        bh = jnp.conj(b).T if is_complex else b.T
+        ah = jnp.conj(a).T if is_complex else a.T
+        return base(g, bh), base(ah, g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def _canonicalize(lhs, rhs, dimension_numbers):
+    """Rearrange an arbitrary dot_general into (B, M, K) x (B, K, N)."""
+    (lc, rc), (lb, rb) = dimension_numbers
+    lc, rc, lb, rb = map(tuple, (lc, rc, lb, rb))
+    l_free = tuple(i for i in range(lhs.ndim) if i not in lc and i not in lb)
+    r_free = tuple(i for i in range(rhs.ndim) if i not in rc and i not in rb)
+    lhs_t = jnp.transpose(lhs, lb + l_free + lc)
+    rhs_t = jnp.transpose(rhs, rb + rc + r_free)
+    bshape = tuple(lhs.shape[i] for i in lb)
+    m = int(np.prod([lhs.shape[i] for i in l_free], dtype=np.int64)) if l_free else 1
+    n = int(np.prod([rhs.shape[i] for i in r_free], dtype=np.int64)) if r_free else 1
+    k = int(np.prod([lhs.shape[i] for i in lc], dtype=np.int64)) if lc else 1
+    bsz = int(np.prod(bshape, dtype=np.int64)) if bshape else 1
+    lhs3 = lhs_t.reshape(bsz, m, k)
+    rhs3 = rhs_t.reshape(bsz, k, n)
+    out_shape = bshape + tuple(lhs.shape[i] for i in l_free) + \
+        tuple(rhs.shape[i] for i in r_free)
+    return lhs3, rhs3, out_shape
+
+
+def _emulated_dot_general(lhs, rhs, dimension_numbers, cfg: config.GemmConfig):
+    lhs3, rhs3, out_shape = _canonicalize(lhs, rhs, dimension_numbers)
+    fn = _emulated_2d(cfg, bool(jnp.issubdtype(lhs.dtype, jnp.complexfloating)))
+    if lhs3.shape[0] == 1:
+        out = fn(lhs3[0], rhs3[0])[None]
+    else:
+        out = jax.vmap(fn)(lhs3, rhs3)
+    return out.reshape(out_shape)
+
+
+def _hook_bind(lhs, rhs, *rest, **params):
+    st = _st()
+    dimension_numbers = params.get("dimension_numbers")
+    pet = params.get("preferred_element_type")
+    dt = np.dtype(getattr(lhs, "dtype", np.int32)).name
+    rdt = np.dtype(getattr(rhs, "dtype", np.int32)).name
+    eligible = (
+        st.depth == 0
+        and not rest
+        and dimension_numbers is not None
+        and dt == rdt
+        and dt in _ELIGIBLE
+        and (pet is None or np.dtype(pet).name == dt)
+    )
+    if eligible:
+        cfg = st.overrides if st.overrides is not None else config.env_config(dt)
+        if cfg is not None and cfg.validate(dt):
+            st.depth += 1
+            try:
+                return _emulated_dot_general(lhs, rhs, dimension_numbers, cfg)
+            finally:
+                st.depth -= 1
+    return _orig_bind(lhs, rhs, *rest, **params)
+
+
+def install(num_moduli: Optional[int] = None, fastmode: Optional[bool] = None,
+            backend: Optional[str] = None) -> None:
+    """Install the interposer. With no args, config comes from GEMMUL8_* env vars
+    per traced dtype (dtypes without GEMMUL8_NUM_MOD_* stay native). Explicit
+    args set a global override for all eligible dtypes."""
+    global _orig_bind, _installed
+    st = _st()
+    if num_moduli is not None:
+        st.overrides = config.GemmConfig(
+            num_moduli=num_moduli,
+            fastmode=True if fastmode is None else fastmode,
+            backend=(backend or "INT8").upper())
+    else:
+        st.overrides = None
+    if not _installed:
+        prim = _primitive()
+        _orig_bind = prim.bind
+        prim.bind = _hook_bind
+        _installed = True
+    # drop executables traced before install / under a different override
+    jax.clear_caches()
+
+
+def uninstall() -> None:
+    global _installed
+    if _installed:
+        _primitive().bind = _orig_bind
+        _installed = False
+        jax.clear_caches()  # drop traces that baked in the emulation
+    _st().overrides = None
+
+
+def refresh() -> None:
+    """Re-read config on the next trace of every jitted callable. Call after
+    changing GEMMUL8_* env vars (the reference hook re-reads env per call,
+    hook.cu:283-310; under XLA, config is baked at trace time instead)."""
+    jax.clear_caches()
+
+
+@contextlib.contextmanager
+def emulate(num_moduli: Optional[int] = None, fastmode: bool = True,
+            backend: str = "INT8"):
+    """Context manager: route eligible matmuls through the emulator inside the
+    block. `with gemmul8_tpu.emulate(num_moduli=8): y = model(x)`"""
+    was_installed = _installed
+    prev_overrides = _st().overrides
+    install(num_moduli=num_moduli, fastmode=fastmode, backend=backend)
+    try:
+        yield
+    finally:
+        if was_installed:
+            _st().overrides = prev_overrides
+            jax.clear_caches()
+        else:
+            uninstall()
