@@ -1,0 +1,64 @@
+"""Distributed SUMMA GEMM on a virtual 8-device CPU mesh: correctness vs the
+single-device emulator and bit-identical results across mesh shapes
+(BASELINE config 5's CPU-testable core)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import gemmul8_tpu as g8
+from gemmul8_tpu.parallel import summa_gemm
+from oracle import max_median_relerr, matmul_longdouble, phi_matrix
+
+RNG = np.random.default_rng(99)
+
+
+def mesh_of(x, y):
+    devs = np.asarray(jax.devices()[: x * y]).reshape(x, y)
+    return Mesh(devs, ("x", "y"))
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_summa_matches_quality(dtype):
+    m, k, n = 64, 256, 64
+    a = phi_matrix(RNG, m, k, 0.5, dtype)
+    b = phi_matrix(RNG, k, n, 0.5, dtype)
+    ref = matmul_longdouble(a, b)
+    c = np.asarray(summa_gemm(jnp.asarray(a), jnp.asarray(b),
+                              mesh=mesh_of(2, 4), num_moduli=8))
+    err, _ = max_median_relerr(c, ref)
+    c1, _ = max_median_relerr(
+        np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=8)), ref)
+    assert err < c1 * 16 + 1e-30  # same quality class as single-device
+
+
+def test_summa_bit_identical_across_meshes():
+    """The headline invariant: 1x1 == 2x1 == 2x4 == 8x1 bitwise."""
+    m, k, n = 64, 128, 64
+    a = jnp.asarray(phi_matrix(RNG, m, k, 1.0))
+    b = jnp.asarray(phi_matrix(RNG, k, n, 1.0))
+    outs = {}
+    for shape in [(1, 1), (2, 1), (1, 2), (2, 4), (8, 1)]:
+        c = np.asarray(summa_gemm(a, b, mesh=mesh_of(*shape), num_moduli=10))
+        outs[shape] = c
+    base = outs[(1, 1)].view(np.int64)
+    for shape, c in outs.items():
+        assert np.array_equal(c.view(np.int64), base), f"mesh {shape} differs"
+
+
+def test_summa_exact_integer():
+    a = RNG.integers(-40, 40, (32, 64)).astype(np.float64)
+    b = RNG.integers(-40, 40, (64, 16)).astype(np.float64)
+    c = np.asarray(summa_gemm(jnp.asarray(a), jnp.asarray(b),
+                              mesh=mesh_of(4, 2), num_moduli=8))
+    np.testing.assert_array_equal(c, a @ b)
+
+
+def test_summa_reproducible_run_to_run():
+    a = jnp.asarray(phi_matrix(RNG, 32, 64, 0.0))
+    b = jnp.asarray(phi_matrix(RNG, 64, 32, 0.0))
+    m = mesh_of(2, 2)
+    c1 = np.asarray(summa_gemm(a, b, mesh=m, num_moduli=12))
+    c2 = np.asarray(summa_gemm(a, b, mesh=m, num_moduli=12))
+    assert np.array_equal(c1.view(np.int64), c2.view(np.int64))
