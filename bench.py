@@ -32,10 +32,12 @@ def timed_loop(fn, a, b, iters):
     def loop(a, b):
         def body(i, carry):
             s, a = carry
-            # force a loop-carried dependency so XLA cannot hoist the GEMM
+            # force a loop-carried dependency so XLA cannot hoist the GEMM,
+            # and consume ALL of c so it cannot slice-propagate (computing
+            # c[0,0] alone only needs one dot product!)
             a = a.at[0, 0].set(a[0, 0] + s * 1e-300)
             c = fn(a, b)
-            return (c[0, 0].astype(jnp.float64), a)
+            return (jnp.sum(c).astype(jnp.float64), a)
         s, _ = jax.lax.fori_loop(0, iters, body, (jnp.float64(0), a))
         return s
 

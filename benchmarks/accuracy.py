@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Accuracy benchmark, mirroring the reference protocol (testing/test_accuracy.hpp):
+m=n=128, k swept in powers of two, phi in {-1, 0, 0.5, 1, 2, 4}, num_moduli sweep,
+max/median elementwise relative error vs an extended-precision oracle, CSV output
+named like the reference's (test_flops.hpp:5).
+
+Usage: python benchmarks/accuracy.py [--dtype f64] [--kmax 16384] [--fast 1]
+"""
+import argparse
+import csv
+import datetime
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="f64", choices=["f32", "f64", "c64", "c128"])
+    ap.add_argument("--kmax", type=int, default=16384)
+    ap.add_argument("--fast", type=int, default=1)
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import gemmul8_tpu as g8
+
+    np_dtype = {"f32": np.float32, "f64": np.float64,
+                "c64": np.complex64, "c128": np.complex128}[args.dtype]
+    is_cplx = args.dtype.startswith("c")
+    nu_range = {"f32": range(3, 14), "f64": range(9, 21),
+                "c64": range(3, 14), "c128": range(9, 21)}[args.dtype]
+
+    m = n = 128
+    phis = [-1.0, 0.0, 0.5, 1.0, 2.0, 4.0]
+    ks = [1 << p for p in range(10, 24) if (1 << p) <= args.kmax]
+
+    dev = jax.devices()[0].device_kind.replace(" ", "")
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    out = args.out or (f"oz2_results_INT8_{args.dtype}_accuracy_{dev}_{stamp}.csv")
+
+    def gen(rng, rows, cols, phi):
+        def real(seed_rng):
+            if phi < 0:
+                return seed_rng.standard_normal((rows, cols))
+            u = seed_rng.random((rows, cols))
+            z = seed_rng.standard_normal((rows, cols))
+            return (u - 0.5) * np.exp(z * phi)
+        if is_cplx:
+            return (real(rng) + 1j * real(rng)).astype(np_dtype)
+        return real(rng).astype(np_dtype)
+
+    def oracle(a, b):
+        if is_cplx:
+            ar, ai = a.real.astype(np.longdouble), a.imag.astype(np.longdouble)
+            br, bi = b.real.astype(np.longdouble), b.imag.astype(np.longdouble)
+            return (ar @ br - ai @ bi) + 1j * (ar @ bi + ai @ br)
+        return a.astype(np.longdouble) @ b.astype(np.longdouble)
+
+    def errs(c, ref):
+        d = np.abs(np.asarray(c, ref.dtype) - ref)
+        den = np.maximum(np.abs(ref), np.finfo(np.longdouble).tiny)
+        e = (d / den).astype(np.float64)
+        return float(np.max(e)), float(np.median(e))
+
+    rows_out = []
+    for k in ks:
+        for phi in phis:
+            rng = np.random.default_rng(12345 + k)
+            a = gen(rng, m, k, phi)
+            rng2 = np.random.default_rng(54321 + k)
+            b = gen(rng2, k, n, phi)
+            ref = oracle(a, b)
+            nat_max, nat_med = errs(a @ b, ref)
+            rows_out.append([k, phi, "native", "", nat_max, nat_med])
+            print(f"k={k} phi={phi} native: {nat_max:.3e}", file=sys.stderr)
+            for nu in nu_range:
+                c = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b),
+                                       num_moduli=nu, fastmode=bool(args.fast)))
+                emax, emed = errs(c, ref)
+                rows_out.append([k, phi, f"oz2-{'fast' if args.fast else 'accu'}",
+                                 nu, emax, emed])
+                print(f"k={k} phi={phi} nu={nu}: {emax:.3e}", file=sys.stderr)
+
+    with open(out, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["k", "phi", "method", "num_moduli", "err_max", "err_median"])
+        w.writerows(rows_out)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Throughput benchmark, mirroring the reference protocol (testing/test_flops.hpp):
+square sizes swept, TFLOPS = 2*m*n*k (x4 complex) / median time, per-phase
+breakdown {quantize, int8 GEMM, mod reduce, CRT+inverse}, CSV output.
+
+Usage: python benchmarks/flops.py [--dtype f64] [--sizes 1024,2048,4096] [--nu 8,16]
+"""
+import argparse
+import csv
+import datetime
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def timed_loop(fn, a, b, iters):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(a, b):
+        def body(i, carry):
+            s, a = carry
+            # loop-carried dependency + full consumption of c (slicing c would
+            # let XLA shrink the GEMM)
+            a = a.at[0, 0].set(a[0, 0] + s * 1e-300)
+            c = fn(a, b)
+            return (jnp.sum(jnp.real(c)).astype(jnp.float64), a)
+        s, _ = jax.lax.fori_loop(0, iters, body, (jnp.float64(0), a))
+        return s
+
+    loop(a, b).block_until_ready()
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        loop(a, b).block_until_ready()
+        ts.append((time.perf_counter() - t0) / iters)
+    return sorted(ts)[1]  # median of 3 loop runs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", default="f64", choices=["f32", "f64", "c64", "c128"])
+    ap.add_argument("--sizes", default="1024,2048,4096")
+    ap.add_argument("--nu", default="8,12,16")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--phases", action="store_true", help="also time the 4 phases")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from gemmul8_tpu import complex_gemm, core
+
+    np_dtype = {"f32": np.float32, "f64": np.float64,
+                "c64": np.complex64, "c128": np.complex128}[args.dtype]
+    is_cplx = args.dtype.startswith("c")
+    flop_factor = 8.0 if is_cplx else 2.0
+
+    dev = jax.devices()[0].device_kind.replace(" ", "")
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    out = f"oz2_results_INT8_{args.dtype}_flops_{dev}_{stamp}.csv"
+    rows = []
+    rng = np.random.default_rng(0)
+
+    for s in [int(x) for x in args.sizes.split(",")]:
+        m = n = k = s
+        a = rng.standard_normal((m, k))
+        b = rng.standard_normal((k, n))
+        if is_cplx:
+            a = a + 1j * rng.standard_normal((m, k))
+            b = b + 1j * rng.standard_normal((k, n))
+        aj = jnp.asarray(a.astype(np_dtype))
+        bj = jnp.asarray(b.astype(np_dtype))
+
+        t_nat = timed_loop(lambda x, y: x @ y, aj, bj, args.iters)
+        nat_tflops = flop_factor * m * n * k / t_nat / 1e12
+        rows.append([s, "native", "", t_nat, nat_tflops, "", "", "", ""])
+        print(f"{s}^3 native: {t_nat*1e3:.2f} ms = {nat_tflops:.2f} TFLOP/s",
+              file=sys.stderr)
+
+        for nu in [int(x) for x in args.nu.split(",")]:
+            emul = (functools.partial(complex_gemm.emulate_matmul_complex,
+                                      num_moduli=nu) if is_cplx else
+                    functools.partial(core.emulate_matmul, num_moduli=nu))
+            t = timed_loop(emul, aj, bj, args.iters)
+            tflops = flop_factor * m * n * k / t / 1e12
+            ph = ["", "", "", ""]
+            if args.phases and not is_cplx:
+                _, phases = core.gemm_with_phases(aj, bj, num_moduli=nu, iters=3)
+                ph = [phases["quantize"], phases["matmul"],
+                      phases["mod_reduce"], phases["crt_inverse"]]
+                print(f"    phases: {phases}", file=sys.stderr)
+            rows.append([s, "oz2-fast", nu, t, tflops, *ph])
+            print(f"{s}^3 nu={nu}: {t*1e3:.2f} ms = {tflops:.2f} TFLOP/s "
+                  f"({tflops/nat_tflops:.2f}x native)", file=sys.stderr)
+
+    with open(out, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["size", "method", "num_moduli", "sec", "tflops",
+                    "t_quantize", "t_matmul", "t_mod", "t_crt"])
+        w.writerows(rows)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

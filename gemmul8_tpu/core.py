@@ -218,6 +218,69 @@ def matmul(a: jax.Array, b: jax.Array, **kw) -> jax.Array:
     return gemm(a, b, **kw)
 
 
+def work_bytes(m: int, n: int, k: int, num_moduli: int,
+               dtype=jnp.float64, backend: str = tables.Backend.INT8) -> int:
+    """Planning estimate of peak temporary device memory (bytes) for one emulated
+    GEMM. Analog of gemmul8::workSize (reference: gemmul8_real.hpp:8-47) -- here
+    XLA owns allocation, so this is an estimate for job sizing, not a contract:
+    A/B residue planes (int8) + C_hi (int32) + C_mid (int8) + shift vectors."""
+    is_cplx = jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating)
+    lanes = 3 if is_cplx else 1
+    planes_a = num_moduli * lanes * m * k
+    planes_b = num_moduli * lanes * k * n
+    c_hi = num_moduli * lanes * m * n * 4
+    c_mid = num_moduli * (2 if is_cplx else 1) * m * n
+    sft = 4 * (m + n)
+    return planes_a + planes_b + c_hi + c_mid + sft
+
+
+def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
+                     fastmode: bool = True, backend: str = tables.Backend.INT8,
+                     iters: int = 1):
+    """Run the emulation in 4 separately-timed phases and return
+    (C, {"quantize": s, "matmul": s, "mod_reduce": s, "crt_inverse": s}).
+
+    Mirrors the reference's returned timer vector {scaling, low-prec GEMM,
+    conv_hi2mid, inverse scaling} (gemmul8_real.hpp:67-68,122-204). Unlike the
+    reference -- which stream-syncs inside the production path -- instrumentation
+    here is a separate entry point; gemm() itself never synchronizes."""
+    import time
+
+    q = jax.jit(functools.partial(_quantize_operands, num_moduli=num_moduli,
+                                  fastmode=fastmode, backend=backend))
+    mm = jax.jit(residue_matmul)
+    mr = jax.jit(functools.partial(mod_reduce, num_moduli=num_moduli,
+                                   backend=backend))
+
+    @jax.jit
+    def ci(c_mid, sft_a, sft_b):
+        t = crt_reconstruct(c_mid, num_moduli, backend, a.dtype)
+        return inverse_scale(t, sft_a, sft_b, a.dtype)
+
+    # warmup/compile
+    pa, sa, pb, sb = jax.block_until_ready(q(a, b))
+    c_hi = jax.block_until_ready(mm(pa, pb))
+    c_mid = jax.block_until_ready(mr(c_hi))
+    out = jax.block_until_ready(ci(c_mid, sa, sb))
+
+    times = dict.fromkeys(("quantize", "matmul", "mod_reduce", "crt_inverse"), 0.0)
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        pa, sa, pb, sb = jax.block_until_ready(q(a, b))
+        t1 = time.perf_counter()
+        c_hi = jax.block_until_ready(mm(pa, pb))
+        t2 = time.perf_counter()
+        c_mid = jax.block_until_ready(mr(c_hi))
+        t3 = time.perf_counter()
+        out = jax.block_until_ready(ci(c_mid, sa, sb))
+        t4 = time.perf_counter()
+        times["quantize"] += t1 - t0
+        times["matmul"] += t2 - t1
+        times["mod_reduce"] += t3 - t2
+        times["crt_inverse"] += t4 - t3
+    return out, {k: v / iters for k, v in times.items()}
+
+
 # ---------------------------------------------------------------------------
 # precomputed operands: the skip-scal analog
 # ---------------------------------------------------------------------------

@@ -1,0 +1,60 @@
+"""Exhaustive small-shape correctness sweep, mirroring the reference's debug tier
+(reference: debug/test.cu:14-27, 247-299): odd sizes straddling tile boundaries,
+all op pairs, nontrivial alpha/beta, fast+accurate, vs the native product.
+Criterion: relative error far below 1 (the reference flags rel-err > 1 as
+catastrophic; at our num_moduli the emulation is at least native-grade)."""
+import itertools
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gemmul8_tpu as g8
+
+RNG = np.random.default_rng(2024)
+
+
+def _mk(m, n, dtype):
+    x = RNG.standard_normal((m, n)) * np.exp(RNG.standard_normal((m, n)))
+    if np.issubdtype(dtype, np.complexfloating):
+        x = x + 1j * (RNG.standard_normal((m, n)) * np.exp(RNG.standard_normal((m, n))))
+    return x.astype(dtype)
+
+
+def _op(x, t):
+    if t == "T":
+        return x.T
+    if t == "C":
+        return x.conj().T
+    return x
+
+
+@pytest.mark.parametrize("dtype,nu", [(np.float32, 8), (np.float64, 12),
+                                      (np.complex64, 8), (np.complex128, 12)])
+@pytest.mark.parametrize("fastmode", [True, False])
+def test_odd_shapes_ops_alphabeta(dtype, nu, fastmode):
+    is_cplx = np.issubdtype(dtype, np.complexfloating)
+    ops = ["N", "T", "C"] if is_cplx else ["N", "T"]
+    shapes = [(33, 47, 41), (1, 37, 1), (40, 1, 44), (47, 45, 33)]
+    ab_pairs = [(1.0, 0.0), (-1.0, 1.0), (-1.5, 1.2)]
+    if is_cplx:
+        ab_pairs.append((1.5 - 0.5j, -0.25 + 1.0j))
+    # rotate op pairs across shapes (full product would compile ~10x more cases)
+    op_pairs = list(itertools.product(ops, ops))
+    cases = [(s, *op_pairs[(i * 2 + j) % len(op_pairs)])
+             for i, s in enumerate(shapes) for j in range(2)]
+    for (m, k, n), ta, tb in cases:
+        a_shape = (k, m) if ta != "N" else (m, k)
+        b_shape = (n, k) if tb != "N" else (k, n)
+        a, b = _mk(*a_shape, dtype), _mk(*b_shape, dtype)
+        alpha, beta = ab_pairs[(m + ord(ta) + ord(tb)) % len(ab_pairs)]
+        c0 = _mk(m, n, dtype)
+        got = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=nu,
+                                 fastmode=fastmode, alpha=alpha, beta=beta,
+                                 c=jnp.asarray(c0), trans_a=ta, trans_b=tb))
+        want = alpha * (_op(a, ta).astype(np.complex128 if is_cplx else np.float64)
+                        @ _op(b, tb)) + beta * c0
+        denom = np.maximum(np.abs(want), np.abs(alpha) * np.abs(_op(np.abs(a), ta))
+                           @ np.abs(_op(np.abs(b), tb)) + 1e-30)
+        rel = np.max(np.abs(got - want) / denom)
+        assert rel < 1e-4, (dtype, nu, fastmode, (m, k, n), ta, tb, rel)
