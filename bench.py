@@ -3,12 +3,17 @@
 
 Prints ONE JSON line:
   {"metric": ..., "value": <emulated DGEMM TFLOP/s>, "unit": "TFLOP/s",
-   "vs_baseline": <speedup over the device's native f64 matmul>}
+   "vs_baseline": <speedup over the device's native-path f64 matmul>}
 
-Protocol follows the reference's flops test (median of timed iterations after
-warmup, TFLOPS = 2*m*n*k/t; reference: testing/test_flops.hpp:109,216). Timing
-loops run INSIDE one jit (lax.fori_loop with a forced data dependency) so remote
-dispatch latency does not pollute device time. Diagnostics go to stderr.
+Protocol follows the reference's flops test (timed loop after warmup,
+TFLOPS = 2*m*n*k/t; reference: testing/test_flops.hpp:109,216), adapted to a
+remote/tunneled device: all iterations are chained INSIDE one jit (lax.fori_loop
+with a loop-carried data dependency) and each iteration's output is reduced to a
+scalar, so the only host<->device traffic is one scalar fetch. Dispatch latency
+(measured by a ping kernel) is subtracted. Note: on some PJRT transports
+block_until_ready() returns at dispatch-ack, so timing relies on the scalar
+device->host fetch, which cannot complete before the computation does.
+Diagnostics go to stderr.
 """
 import functools
 import json
@@ -22,9 +27,29 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def timed_loop(fn, a, b, iters):
-    """Median-free single measurement of `iters` chained executions inside one
-    jit; returns seconds per call."""
+def _ping_seconds():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def ping(x):
+        return jnp.sum(x[:4, :4])
+
+    import numpy as _np
+    x = jnp.ones((8, 8), jnp.float32)
+    _np.asarray(ping(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _np.asarray(ping(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def timed_loop(fn, a, b, iters, ping):
+    """Seconds per call of fn(a, b): `iters` chained executions inside one jit,
+    scalar-reduced, timed around a scalar device->host fetch; dispatch ping
+    subtracted."""
     import jax
     import jax.numpy as jnp
 
@@ -32,19 +57,20 @@ def timed_loop(fn, a, b, iters):
     def loop(a, b):
         def body(i, carry):
             s, a = carry
-            # force a loop-carried dependency so XLA cannot hoist the GEMM,
-            # and consume ALL of c so it cannot slice-propagate (computing
-            # c[0,0] alone only needs one dot product!)
+            # loop-carried dependency: XLA cannot hoist the GEMM out of the
+            # loop, and the full-output reduction prevents slice propagation
             a = a.at[0, 0].set(a[0, 0] + s * 1e-300)
             c = fn(a, b)
-            return (jnp.sum(c).astype(jnp.float64), a)
-        s, _ = jax.lax.fori_loop(0, iters, body, (jnp.float64(0), a))
+            return (jnp.sum(c.real if jnp.iscomplexobj(c) else c)
+                    .astype(a.dtype), a)
+        s, _ = jax.lax.fori_loop(0, iters, body, (jnp.zeros((), a.dtype), a))
         return s
 
-    loop(a, b).block_until_ready()  # compile + warm up
+    np.asarray(loop(a, b))  # compile + warm up
     t0 = time.perf_counter()
-    loop(a, b).block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    np.asarray(loop(a, b))
+    dt = time.perf_counter() - t0
+    return max(dt - ping, 1e-9) / iters
 
 
 def main():
@@ -59,7 +85,7 @@ def main():
 
     if on_tpu:
         m = k = n = 4096
-        iters = 8
+        iters = 16
     else:  # CPU fallback (driver safety)
         m = k = n = 512
         iters = 2
@@ -69,20 +95,27 @@ def main():
     a = jnp.asarray(rng.standard_normal((m, k)))
     b = jnp.asarray(rng.standard_normal((k, n)))
 
+    ping = _ping_seconds()
+    log(f"dispatch ping: {ping*1e3:.2f} ms")
+
     emul = functools.partial(core.emulate_matmul, num_moduli=nu, fastmode=True)
-    t_emul = timed_loop(emul, a, b, iters)
+    t_emul = timed_loop(emul, a, b, iters, ping)
     tflops = 2.0 * m * n * k / t_emul / 1e12
     log(f"emulated DGEMM {m}^3 nu={nu}: {t_emul*1e3:.2f} ms -> {tflops:.2f} TFLOP/s")
 
-    t_native = timed_loop(lambda x, y: x @ y, a, b, iters)
+    t_native = timed_loop(lambda x, y: x @ y, a, b, iters, ping)
     native_tflops = 2.0 * m * n * k / t_native / 1e12
-    log(f"native f64 matmul: {t_native*1e3:.2f} ms -> {native_tflops:.2f} TFLOP/s")
+    log(f"native-path f64 matmul: {t_native*1e3:.2f} ms -> {native_tflops:.2f} TFLOP/s")
 
-    # quick accuracy spot check (vs host f64 reference on a slice)
-    c = np.asarray(emul(a[:256], b))
-    ref = np.asarray(a[:256], np.float64) @ np.asarray(b, np.float64)
-    err = float(np.max(np.abs(c - ref) / np.maximum(np.abs(ref), 1e-30)))
-    log(f"max rel err vs host-f64 oracle (256-row slice): {err:.3e}")
+    # accuracy spot check fully on device: emulated vs the native f64 path,
+    # only the scalar max-rel-err crosses the wire
+    @jax.jit
+    def spot_err(a, b):
+        c = emul(a[:256], b)
+        ref = a[:256] @ b
+        return jnp.max(jnp.abs(c - ref) / jnp.maximum(jnp.abs(ref), 1e-300))
+    err = float(np.asarray(spot_err(a, b)))
+    log(f"max rel err vs device-native f64 (256-row slice): {err:.3e}")
 
     print(json.dumps({
         "metric": f"emulated DGEMM TFLOP/s ({m}^3, num_moduli={nu}, fast mode, "

@@ -6,7 +6,8 @@ JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md
 """
 from . import tables
 from .config import GemmConfig, env_config
-from .core import QuantizedOperand, gemm, gemm_quantized, matmul, precompute
+from .core import (QuantizedOperand, gemm, gemm_quantized, gemm_with_phases,
+                   matmul, precompute, work_bytes)
 from .hook import emulate, install, refresh, uninstall
 from .tables import Backend
 
@@ -14,6 +15,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "gemm", "matmul", "gemm_quantized", "precompute", "QuantizedOperand",
+    "work_bytes", "gemm_with_phases",
     "Backend", "GemmConfig", "env_config", "tables",
     "emulate", "install", "refresh", "uninstall",
 ]

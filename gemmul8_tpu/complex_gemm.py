@@ -29,25 +29,25 @@ from . import core, quantize, tables
 _REAL_DTYPE = {np.dtype("complex64"): jnp.float32, np.dtype("complex128"): jnp.float64}
 
 
-def _ri_plane(re_planes, im_planes, num_moduli, backend):
-    """Third plane set: wrap((re + im) mod p) from the int8 residue planes."""
-    mods = tables.moduli(backend)[:num_moduli]
-    outs = []
-    for i, p in enumerate(mods):
-        s = re_planes[i].astype(jnp.int32) + im_planes[i].astype(jnp.int32)
-        r = s % p
-        r = jnp.where(2 * r >= p, r - p, r)
-        outs.append(r.astype(jnp.int8))
-    return jnp.stack(outs)
-
-
 def _quantize_complex(x, sft, scale_axis, num_moduli, backend, conj):
+    """Emit the 3 lane plane-sets (Re, Im, (Re+Im) mod p) for one operand.
+
+    Returns (3, nu, r, c) int8 for INT8, (3, nu, 3, r, c) bf16 for FP8
+    (reference: mod.hpp:315-326 complex ModUnroll; fp8 lanes mirror f8x9)."""
     re = jnp.real(x)
     im = -jnp.imag(x) if conj else jnp.imag(x)
-    pr = quantize.encode_planes(re, sft, scale_axis, num_moduli, backend)
-    pi = quantize.encode_planes(im, sft, scale_axis, num_moduli, backend)
-    pri = _ri_plane(pr, pi, num_moduli, backend)
-    return jnp.concatenate([pr, pi, pri], axis=0)  # (3*nu, ...)
+    rr = quantize.residues_wrapped(re, sft, scale_axis, num_moduli, backend)
+    ri = quantize.residues_wrapped(im, sft, scale_axis, num_moduli, backend)
+    mods = tables.moduli(backend)[:num_moduli]
+    rri = []
+    for i, p in enumerate(mods):
+        s = (rr[i] + ri[i]) % p
+        rri.append(jnp.where(2 * s >= p, s - p, s))
+    lanes = jnp.stack([rr, ri, jnp.stack(rri)])     # (3, nu, ...) int32
+    if backend == tables.Backend.INT8:
+        return lanes.astype(jnp.int8)
+    from . import fp8
+    return jax.vmap(lambda r: fp8.split_planes(r, num_moduli))(lanes)
 
 
 def _shift_complex_fast(x, num_moduli, backend, reduce_axis):
@@ -57,21 +57,23 @@ def _shift_complex_fast(x, num_moduli, backend, reduce_axis):
     return quantize.shift_fast(stacked, num_moduli, backend, reduce_axis)
 
 
-def _recombine_3m(c_hi, num_moduli, backend):
-    """(3*nu, m, n) int32 -> (2, nu, m, n) int8 wrapped residues of (Re, Im).
-    Each product is mod-reduced BEFORE combining so intermediates stay tiny."""
+def _recombine_3m(mids, num_moduli, backend):
+    """(3, nu, m, n) wrapped lane-product residues -> (2, nu, m, n) wrapped
+    residues of (Re, Im): Re = Crr - Cii, Im = Crii - Crr - Cii, all mod p
+    (reference: conv_hi2mid_complex.hpp:9-40)."""
     mods = tables.moduli(backend)[:num_moduli]
+    mid_t = jnp.int8 if backend == tables.Backend.INT8 else jnp.int16
     out_r, out_i = [], []
     for i, p in enumerate(mods):
-        crr = c_hi[i] % p
-        cii = c_hi[num_moduli + i] % p
-        cri = c_hi[2 * num_moduli + i] % p
+        crr = mids[0, i].astype(jnp.int32)
+        cii = mids[1, i].astype(jnp.int32)
+        cri = mids[2, i].astype(jnp.int32)
         re = (crr - cii) % p
         im = (cri - crr - cii) % p
         re = jnp.where(2 * re >= p, re - p, re)
         im = jnp.where(2 * im >= p, im - p, im)
-        out_r.append(re.astype(jnp.int8))
-        out_i.append(im.astype(jnp.int8))
+        out_r.append(re.astype(mid_t))
+        out_i.append(im.astype(mid_t))
     return jnp.stack(out_r), jnp.stack(out_i)
 
 
@@ -83,9 +85,7 @@ def _shift_complex_accu(a, b, num_moduli, backend):
     mag_b = jnp.abs(jnp.real(b)) + jnp.abs(jnp.imag(b))
     ub_a, pre_a = quantize.extract_ub_plane(mag_a, backend, scale_axis=0)
     ub_b, pre_b = quantize.extract_ub_plane(mag_b, backend, scale_axis=1)
-    c_hi = jax.lax.dot_general(
-        ub_a, ub_b, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
+    c_hi = quantize.estimate_gemm(ub_a, ub_b, backend)
     sft_a = quantize.shift_accu_from_chi(
         jnp.max(c_hi, axis=1), pre_a, num_moduli, backend)
     sft_b = quantize.shift_accu_from_chi(
@@ -109,8 +109,12 @@ def emulate_matmul_complex(a: jax.Array, b: jax.Array, *, num_moduli: int,
 
     pa = _quantize_complex(a, sft_a, 0, num_moduli, backend, conj=conj_a)
     pb = _quantize_complex(b, sft_b, 1, num_moduli, backend, conj=conj_b)
-    c_hi = core.residue_matmul(pa, pb)  # (3*nu, m, n) int32, exact
-    mid_r, mid_i = _recombine_3m(c_hi, num_moduli, backend)
+    # one residue GEMM per lane product (Crr, Cii, Crii), vmapped so XLA fuses
+    # all 3*nu (INT8) / 9*nu (FP8) MXU matmuls into one batched dot; K-chunking
+    # inside residue_gemm keeps accumulation exact for any k.
+    mids = jax.vmap(
+        lambda x, y: core.residue_gemm(x, y, num_moduli, backend))(pa, pb)
+    mid_r, mid_i = _recombine_3m(mids, num_moduli, backend)
     t_r = core.crt_reconstruct(mid_r, num_moduli, backend, real_dt)
     t_i = core.crt_reconstruct(mid_i, num_moduli, backend, real_dt)
     ab_r = core.inverse_scale(t_r, sft_a, sft_b, real_dt)

@@ -56,11 +56,15 @@ def mod_reduce(c_hi: jax.Array, num_moduli: int, backend: str) -> jax.Array:
 
 def residue_gemm(a_planes: jax.Array, b_planes: jax.Array,
                  num_moduli: int, backend: str) -> jax.Array:
-    """Full-K exact residue GEMM -> wrapped int8 C_mid (nu, m, n).
+    """Full-K exact residue GEMM -> wrapped C_mid (nu, m, n); int8 for the
+    INT8 backend, int16 for FP8 (moduli up to 1089).
 
     K > K_CHUNK is handled by chunking and summing partial products in residue
     space (exact: residues are closed under addition mod p), lifting the
     reference's k <= 2^17 limit."""
+    if backend == tables.Backend.FP8:
+        from . import fp8
+        return fp8.residue_gemm_fp8(a_planes, b_planes, num_moduli)
     k = a_planes.shape[2]
     if k <= K_CHUNK:
         return mod_reduce(residue_matmul(a_planes, b_planes), num_moduli, backend)
@@ -137,9 +141,7 @@ def _quantize_operands(a, b, num_moduli, fastmode, backend):
     else:
         ub_a, pre_a = quantize.extract_ub_plane(a, backend, scale_axis=0)
         ub_b, pre_b = quantize.extract_ub_plane(b, backend, scale_axis=1)
-        c_hi = jax.lax.dot_general(
-            ub_a, ub_b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        c_hi = quantize.estimate_gemm(ub_a, ub_b, backend)
         sft_a = quantize.shift_accu_from_chi(
             jnp.max(c_hi, axis=1), pre_a, num_moduli, backend)
         sft_b = quantize.shift_accu_from_chi(
@@ -198,6 +200,8 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
         return complex_gemm.gemm_complex(
             a, b, num_moduli=num_moduli, fastmode=fastmode, backend=backend,
             alpha=alpha, beta=beta, c=c, trans_a=trans_a, trans_b=trans_b)
+    if backend not in (tables.Backend.INT8, tables.Backend.FP8):
+        raise ValueError(f"backend must be 'INT8' or 'FP8', got {backend!r}")
     lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
     if not lo <= num_moduli <= hi:
         raise ValueError(
@@ -226,10 +230,15 @@ def work_bytes(m: int, n: int, k: int, num_moduli: int,
     A/B residue planes (int8) + C_hi (int32) + C_mid (int8) + shift vectors."""
     is_cplx = jnp.issubdtype(jnp.dtype(dtype), jnp.complexfloating)
     lanes = 3 if is_cplx else 1
-    planes_a = num_moduli * lanes * m * k
-    planes_b = num_moduli * lanes * k * n
-    c_hi = num_moduli * lanes * m * n * 4
-    c_mid = num_moduli * (2 if is_cplx else 1) * m * n
+    # FP8: 3 bf16 slot planes per modulus (2 bytes), 3 GEMM products per
+    # modulus (f32 C_hi), int16 C_mid; INT8: 1 int8 plane / int32 C_hi / int8.
+    plane_b = 6 if backend == tables.Backend.FP8 else 1
+    prod = 3 if backend == tables.Backend.FP8 else 1
+    mid_b = 2 if backend == tables.Backend.FP8 else 1
+    planes_a = num_moduli * lanes * m * k * plane_b
+    planes_b = num_moduli * lanes * k * n * plane_b
+    c_hi = num_moduli * lanes * prod * m * n * 4
+    c_mid = num_moduli * (2 if is_cplx else 1) * m * n * mid_b
     sft = 4 * (m + n)
     return planes_a + planes_b + c_hi + c_mid + sft
 
@@ -248,9 +257,22 @@ def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
 
     q = jax.jit(functools.partial(_quantize_operands, num_moduli=num_moduli,
                                   fastmode=fastmode, backend=backend))
-    mm = jax.jit(residue_matmul)
-    mr = jax.jit(functools.partial(mod_reduce, num_moduli=num_moduli,
-                                   backend=backend))
+    if backend == tables.Backend.FP8:
+        from . import fp8
+
+        @jax.jit
+        def mm(pa, pb):
+            return fp8._batched_dot(fp8._gemm_stack(pa, num_moduli, "lhs"),
+                                    fp8._gemm_stack(pb, num_moduli, "rhs"))
+
+        @jax.jit
+        def mr(c3):
+            return fp8._reassemble(c3.astype(jnp.int32),
+                                   num_moduli).astype(jnp.int16)
+    else:
+        mm = jax.jit(residue_matmul)
+        mr = jax.jit(functools.partial(mod_reduce, num_moduli=num_moduli,
+                                       backend=backend))
 
     @jax.jit
     def ci(c_mid, sft_a, sft_b):

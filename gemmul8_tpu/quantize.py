@@ -154,7 +154,28 @@ def extract_ub_plane(x: jax.Array, backend: str, scale_axis: int):
     tail = (y - c1.astype(y.dtype)) if y.dtype != jnp.float32 else jnp.zeros_like(c1)
     ub = jnp.ceil(c1) + (tail.astype(jnp.float32) > 0)
     ub = jnp.where(ax > 0, jnp.maximum(ub, 1.0), 0.0)
-    return ub.astype(jnp.int8), sft_pre
+    # INT8: values <= 2^5+1 fit int8 (exact int32 estimation GEMM). FP8: values
+    # <= 2^7+1 exceed int8; carry in bf16 (exact) and estimate via an f32-
+    # accumulating GEMM, like the reference's fp8 extract (template_type.hpp:30-55).
+    if backend == tables.Backend.INT8:
+        return ub.astype(jnp.int8), sft_pre
+    return ub.astype(jnp.bfloat16), sft_pre
+
+
+def estimate_gemm(ub_a: jax.Array, ub_b: jax.Array, backend: str) -> jax.Array:
+    """Upper-bound magnitude estimation GEMM for accurate mode
+    (reference: scaling_accu_real.hpp:415-432). INT8: exact int32 path. FP8:
+    f32 accumulation whose round-off is compensated by inflating the result by
+    (k+1)*2^-24, keeping it a true upper bound (reference: find_max.hpp:82-96)."""
+    if backend == tables.Backend.INT8:
+        return jax.lax.dot_general(
+            ub_a, ub_b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+    k = ub_a.shape[1]
+    c = jax.lax.dot_general(
+        ub_a, ub_b, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return c * np.float32(1.0 + (k + 1) * 2.0 ** -24)
 
 
 def shift_accu_from_chi(c_hi_max: jax.Array, sft_pre: jax.Array,
@@ -178,16 +199,17 @@ def _n_comp(dtype) -> int:
     return 1 if dtype == jnp.float32 else 3
 
 
-def encode_planes(x: jax.Array, sft: jax.Array, scale_axis: int,
-                  num_moduli: int, backend: str) -> jax.Array:
-    """Quantize x with per-row/col shifts and emit all residue planes.
+def residues_wrapped(x: jax.Array, sft: jax.Array, scale_axis: int,
+                     num_moduli: int, backend: str) -> jax.Array:
+    """Quantize x with per-row/col shifts and emit all wrapped residues.
 
     Args:
       x: (m, k) [scale_axis=0: shift per row] or (k, n) [scale_axis=1: per col].
       sft: int32 quantization shifts, shape = x.shape[scale_axis].
     Returns:
-      int8 planes of shape (num_moduli, *x.shape): plane i = wrap(v mod p_i),
-      where v = floor-quantized x * 2^sft (see module docstring).
+      int32 residues of shape (num_moduli, *x.shape): plane i = wrap(v mod p_i)
+      in [-p_i/2, p_i/2), where v = floor-quantized x * 2^sft (see module
+      docstring).
     """
     mods = tables.moduli(backend)[:num_moduli]
     p2m = tables.mod_pow2(backend)  # (20, MAX_EXP+1) int32 numpy
@@ -220,5 +242,21 @@ def encode_planes(x: jax.Array, sft: jax.Array, scale_axis: int,
             acc = acc + s * (m_int % p) * pw
         r = acc % p                       # in [0, p)
         r = jnp.where(2 * r >= p, r - p, r)  # wrap to [-p/2, p/2); 128 -> -128 for p=256
-        planes.append(r.astype(jnp.int8))
+        planes.append(r)
     return jnp.stack(planes)
+
+
+def encode_planes(x: jax.Array, sft: jax.Array, scale_axis: int,
+                  num_moduli: int, backend: str) -> jax.Array:
+    """Quantize + emit the low-precision residue planes for one operand.
+
+    INT8 backend: (num_moduli, *x.shape) int8 -- one MXU-ready plane per
+    modulus (reference: scaling_fast_real.hpp ModUnroll emit).
+    FP8 backend: (num_moduli, 3, *x.shape) bfloat16 -- e4m3-exact split pairs/
+    triples per modulus (reference: mod.hpp make_fp8x2/make_fp8x3); see fp8.py.
+    """
+    res = residues_wrapped(x, sft, scale_axis, num_moduli, backend)
+    if backend == tables.Backend.INT8:
+        return res.astype(jnp.int8)
+    from . import fp8
+    return fp8.split_planes(res, num_moduli)
