@@ -96,7 +96,8 @@ def _shift_complex_accu(a, b, num_moduli, backend):
 def emulate_matmul_complex(a: jax.Array, b: jax.Array, *, num_moduli: int,
                            fastmode: bool = True,
                            backend: str = tables.Backend.INT8,
-                           conj_a: bool = False, conj_b: bool = False) -> jax.Array:
+                           conj_a: bool = False, conj_b: bool = False,
+                           epilogue: str = "auto") -> jax.Array:
     """Pure traceable emulated op(A) @ op(B) for complex operands (no epilogue)."""
     out_dtype = a.dtype
     real_dt = _REAL_DTYPE[np.dtype(out_dtype)]
@@ -115,17 +116,18 @@ def emulate_matmul_complex(a: jax.Array, b: jax.Array, *, num_moduli: int,
     mids = jax.vmap(
         lambda x, y: core.residue_gemm(x, y, num_moduli, backend))(pa, pb)
     mid_r, mid_i = _recombine_3m(mids, num_moduli, backend)
-    t_r = core.crt_reconstruct(mid_r, num_moduli, backend, real_dt)
-    t_i = core.crt_reconstruct(mid_i, num_moduli, backend, real_dt)
-    ab_r = core.inverse_scale(t_r, sft_a, sft_b, real_dt)
-    ab_i = core.inverse_scale(t_i, sft_a, sft_b, real_dt)
+    ab_r = core.reconstruct_scale(mid_r, sft_a, sft_b, num_moduli, backend,
+                                  real_dt, epilogue)
+    ab_i = core.reconstruct_scale(mid_i, sft_a, sft_b, num_moduli, backend,
+                                  real_dt, epilogue)
     return jax.lax.complex(ab_r, ab_i).astype(out_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_moduli", "fastmode", "backend", "op_a", "op_b", "has_c"))
+    "num_moduli", "fastmode", "backend", "op_a", "op_b", "has_c", "epilogue",
+    "trivial_alpha"))
 def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
-               op_a, op_b, has_c):
+               op_a, op_b, has_c, epilogue, trivial_alpha):
     if op_a in ("T", "C"):
         a = a.T
     if op_b in ("T", "C"):
@@ -133,8 +135,8 @@ def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
     out_dtype = a.dtype
     ab = emulate_matmul_complex(a, b, num_moduli=num_moduli, fastmode=fastmode,
                                 backend=backend, conj_a=(op_a == "C"),
-                                conj_b=(op_b == "C"))
-    out = alpha.astype(out_dtype) * ab
+                                conj_b=(op_b == "C"), epilogue=epilogue)
+    out = ab if trivial_alpha else alpha.astype(out_dtype) * ab
     if has_c:
         out = out + beta.astype(out_dtype) * c
     return out
@@ -143,7 +145,7 @@ def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
 def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
                  fastmode: bool = True, backend: str = tables.Backend.INT8,
                  alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
-                 trans_a="N", trans_b="N") -> jax.Array:
+                 trans_a="N", trans_b="N", epilogue: str = "auto") -> jax.Array:
     """Emulated complex GEMM: C = alpha * op(A) @ op(B) + beta * C with
     op in {N, T, C} (C = conjugate transpose). Public analog of the reference's
     cgemm/zgemm entry points (gemmul8.cu:126-134)."""
@@ -165,6 +167,8 @@ def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
     has_c = c is not None
     if not has_c:
         c = jnp.zeros((), a.dtype)
+    trivial_alpha = isinstance(alpha, (int, float)) and alpha == 1
     return _gemm_cplx(a, b, c, jnp.asarray(alpha), jnp.asarray(beta),
                       num_moduli=num_moduli, fastmode=fastmode, backend=backend,
-                      op_a=op_a, op_b=op_b, has_c=has_c)
+                      op_a=op_a, op_b=op_b, has_c=has_c, epilogue=epilogue,
+                      trivial_alpha=trivial_alpha)

@@ -151,31 +151,60 @@ def _quantize_operands(a, b, num_moduli, fastmode, backend):
     return a_planes, sft_a, b_planes, sft_b
 
 
+def resolve_epilogue(epilogue: str = "auto") -> str:
+    """Pick the CRT reconstruction arithmetic.
+
+    "f64": double/double-double accumulation like the reference
+    (inverse_scaling_real.hpp) -- requires true IEEE f64 (CPU).
+    "ff": f32-expansion arithmetic (ff.py) -- the TPU-native path; XLA's
+    X64 rewrite emulates f64 as an f32 pair whose ~48-bit products silently
+    break the dd path's exactness on TPU. Same results on every platform.
+    """
+    if epilogue != "auto":
+        return epilogue
+    return "f64" if jax.default_backend() == "cpu" else "ff"
+
+
+def reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend, out_dtype,
+                      epilogue: str):
+    if resolve_epilogue(epilogue) == "ff":
+        from . import ff
+        return ff.reconstruct_scale_ff(c_mid, sft_a, sft_b, num_moduli,
+                                       backend, out_dtype)
+    t = crt_reconstruct(c_mid, num_moduli, backend, out_dtype)
+    return inverse_scale(t, sft_a, sft_b, out_dtype)
+
+
 def emulate_matmul(a: jax.Array, b: jax.Array, *, num_moduli: int,
                    fastmode: bool = True,
-                   backend: str = tables.Backend.INT8) -> jax.Array:
+                   backend: str = tables.Backend.INT8,
+                   epilogue: str = "auto") -> jax.Array:
     """Pure traceable emulated A @ B (no epilogue): the composable building block
     used by gemm(), the dot_general hook (vmap-able) and the distributed layer."""
     out_dtype = a.dtype
     a_planes, sft_a, b_planes, sft_b = _quantize_operands(
         a, b, num_moduli, fastmode, backend)
     c_mid = residue_gemm(a_planes, b_planes, num_moduli, backend)
-    t = crt_reconstruct(c_mid, num_moduli, backend, out_dtype)
-    return inverse_scale(t, sft_a, sft_b, out_dtype)
+    return reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
+                             out_dtype, epilogue)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "num_moduli", "fastmode", "backend", "trans_a", "trans_b", "has_c"))
+    "num_moduli", "fastmode", "backend", "trans_a", "trans_b", "has_c",
+    "epilogue", "trivial_alpha"))
 def _gemm_real(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
-               trans_a, trans_b, has_c):
+               trans_a, trans_b, has_c, epilogue, trivial_alpha):
     if trans_a:
         a = a.T
     if trans_b:
         b = b.T
     out_dtype = a.dtype
     ab = emulate_matmul(a, b, num_moduli=num_moduli, fastmode=fastmode,
-                        backend=backend)
-    out = alpha.astype(out_dtype) * ab
+                        backend=backend, epilogue=epilogue)
+    # trace-time alpha=1 shortcut keeps the common case untouched by an extra
+    # (possibly emulated-f64) multiply; analog of the reference's compile-time
+    # alpha/beta special kernels (inverse_scaling_real.hpp:149-187)
+    out = ab if trivial_alpha else alpha.astype(out_dtype) * ab
     if has_c:
         out = out + beta.astype(out_dtype) * c
     return out
@@ -184,7 +213,8 @@ def _gemm_real(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
 def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
          fastmode: bool = True, backend: str = tables.Backend.INT8,
          alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
-         trans_a: bool = False, trans_b: bool = False) -> jax.Array:
+         trans_a: bool = False, trans_b: bool = False,
+         epilogue: str = "auto") -> jax.Array:
     """Emulated high-precision GEMM: C = alpha * op(A) @ op(B) + beta * C.
 
     Public analog of gemmul8::gemm (reference: include/gemmul8.hpp:41-94).
@@ -199,7 +229,8 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
         from . import complex_gemm
         return complex_gemm.gemm_complex(
             a, b, num_moduli=num_moduli, fastmode=fastmode, backend=backend,
-            alpha=alpha, beta=beta, c=c, trans_a=trans_a, trans_b=trans_b)
+            alpha=alpha, beta=beta, c=c, trans_a=trans_a, trans_b=trans_b,
+            epilogue=epilogue)
     if backend not in (tables.Backend.INT8, tables.Backend.FP8):
         raise ValueError(f"backend must be 'INT8' or 'FP8', got {backend!r}")
     lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
@@ -212,9 +243,11 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
     has_c = c is not None
     if not has_c:
         c = jnp.zeros((), a.dtype)  # placeholder, unused
+    trivial_alpha = isinstance(alpha, (int, float)) and alpha == 1
     return _gemm_real(a, b, c, jnp.asarray(alpha), jnp.asarray(beta),
                       num_moduli=num_moduli, fastmode=fastmode, backend=backend,
-                      trans_a=trans_a, trans_b=trans_b, has_c=has_c)
+                      trans_a=trans_a, trans_b=trans_b, has_c=has_c,
+                      epilogue=epilogue, trivial_alpha=trivial_alpha)
 
 
 def matmul(a: jax.Array, b: jax.Array, **kw) -> jax.Array:
@@ -245,7 +278,7 @@ def work_bytes(m: int, n: int, k: int, num_moduli: int,
 
 def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
                      fastmode: bool = True, backend: str = tables.Backend.INT8,
-                     iters: int = 1):
+                     iters: int = 1, epilogue: str = "auto"):
     """Run the emulation in 4 separately-timed phases and return
     (C, {"quantize": s, "matmul": s, "mod_reduce": s, "crt_inverse": s}).
 
@@ -276,8 +309,8 @@ def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
 
     @jax.jit
     def ci(c_mid, sft_a, sft_b):
-        t = crt_reconstruct(c_mid, num_moduli, backend, a.dtype)
-        return inverse_scale(t, sft_a, sft_b, a.dtype)
+        return reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
+                                 a.dtype, epilogue)
 
     # warmup/compile
     pa, sa, pb, sb = jax.block_until_ready(q(a, b))
@@ -346,19 +379,20 @@ def precompute(x: jax.Array, side: str, *, num_moduli: int = 8,
     return QuantizedOperand(planes, sft, side, num_moduli, True, backend)
 
 
-@functools.partial(jax.jit, static_argnames=("num_moduli", "backend", "out_dtype"))
-def _gemm_q(pa, sa, pb, sb, *, num_moduli, backend, out_dtype):
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "backend", "out_dtype", "epilogue"))
+def _gemm_q(pa, sa, pb, sb, *, num_moduli, backend, out_dtype, epilogue):
     c_mid = residue_gemm(pa, pb, num_moduli, backend)
-    t = crt_reconstruct(c_mid, num_moduli, backend, out_dtype)
-    return inverse_scale(t, sa, sb, jnp.dtype(out_dtype))
+    return reconstruct_scale(c_mid, sa, sb, num_moduli, backend,
+                             jnp.dtype(out_dtype), epilogue)
 
 
 def gemm_quantized(qa: QuantizedOperand, qb: QuantizedOperand,
-                   out_dtype=jnp.float64) -> jax.Array:
+                   out_dtype=jnp.float64, epilogue: str = "auto") -> jax.Array:
     """GEMM from two precomputed operands (both quantization phases skipped,
     like skip_scalA && skip_scalB in the reference, gemmul8_real.hpp:123)."""
     assert qa.side == "A" and qb.side == "B"
     assert qa.num_moduli == qb.num_moduli and qa.backend == qb.backend
     return _gemm_q(qa.planes, qa.sft, qb.planes, qb.sft,
                    num_moduli=qa.num_moduli, backend=qa.backend,
-                   out_dtype=jnp.dtype(out_dtype).name)
+                   out_dtype=jnp.dtype(out_dtype).name, epilogue=epilogue)

@@ -1,0 +1,228 @@
+"""TPU-native CRT epilogue: exact int32 fixed-point limb accumulation.
+
+Why this exists: TPU has no IEEE float64 ALU. XLA's X64 rewrite stores f64 as
+an f32 pair (~48-bit mantissa, f32 exponent range), so the reference's
+double/double-double CRT reconstruction (inverse_scaling_real.hpp:8-89) -- which
+relies on exact 53-bit products and f64 FMA -- silently loses the quotient bits
+on TPU. The TPU-native equivalent avoids wide floats entirely: the CRT sum
+t = sum_i qPi * r_i is accumulated in a vector of int32 LIMBS (20 bits each)
+on a static power-of-two grid, using only int32 multiplies/shifts/adds, which
+are exact and bit-identical on every backend (CPU, TPU v5e VPU, ...).
+
+How it works (all structure is static at trace time):
+  * each qPi constant is decomposed host-side into 12-bit signed integer
+    pieces m * 2^g (from the exact ~96-bit qPi_f32x4 tables);
+  * a term m * r_i (|m| < 2^12, |r_i| <= 2^11 wrapped residue) is an exact
+    int32 product of <= 23 bits, split across two adjacent limbs by static
+    shifts; ~160 terms of <= 2^22 keep every limb below 2^30: no overflow;
+  * the wrap quotient rint(t * invP) is estimated from the top three limbs in
+    f32 (|quot| < 2^14, error margin ~2^-20 against the shift guarantee
+    |t| < P/2 * (1 - margin)), then P * quot is folded into the SAME limbs
+    with the same integer decomposition -- the high limbs cancel exactly;
+  * one carry-normalization pass brings every limb into [0, 2^20) (top limb
+    keeps the sign), after which each limb converts to f32/f64 exactly and
+    the output is assembled largest-first with the inverse power-of-two
+    scaling folded in per limb.
+
+The only approximation anywhere is the ~96-bit truncation of the qPi tables
+themselves (absolute error ~P * 2^-84, far below both f64 resolution at matrix
+scale and the reference's double-double floor) plus the single final rounding
+into the output dtype. Everything else is exact integer arithmetic => results
+are bit-identical across platforms and trivially reproducible.
+
+Float helpers (two_sum / two_prod_const) are kept for tests and future use.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import tables
+
+_SPLIT = np.float32((1 << 12) + 1)
+LIMB_BITS = 20
+_LIMB = 1 << LIMB_BITS
+
+
+def two_sum(a, b):
+    """Error-free a + b = s + e (Knuth; 6 flops, branch-free)."""
+    s = a + b
+    t = s - a
+    e = (a - (s - t)) + (b - t)
+    return s, e
+
+
+def two_prod_const(c_np, x):
+    """Error-free c * x = p + e for an f32 CONSTANT c (host-side Veltkamp
+    split) times an f32 array x (runtime Dekker split)."""
+    c_np = np.float32(c_np)
+    ch, cl = _split12_const(c_np)
+    cx = _SPLIT * x
+    xh = cx - (cx - x)
+    xl = x - xh
+    p = c_np * x
+    e = ((ch * xh - p) + ch * xl + cl * xh) + cl * xl
+    return p, e
+
+
+def _split12_const(v):
+    """Veltkamp split of an f32 constant into (hi, lo), each with <= 12
+    significant bits, computed in exact f32 host arithmetic."""
+    v = np.float32(v)
+    c = np.float32(_SPLIT * v)
+    hi = np.float32(c - np.float32(c - v))
+    lo = np.float32(v - hi)
+    return hi, lo
+
+
+def _int_pieces(value_f64: float, max_bits: int = 12):
+    """Decompose an exact f64 (24-bit-mantissa component) into signed integer
+    pieces m * 2^g with |m| < 2^max_bits. Exact."""
+    pieces = []
+    v = np.float64(value_f64)
+    while v != 0.0:
+        g = int(np.floor(np.log2(abs(v)))) - (max_bits - 1)
+        m = v * (2.0 ** -g)
+        m_int = int(np.floor(m))  # may leave a remainder piece
+        pieces.append((m_int, g))
+        v = v - m_int * (2.0 ** g)
+    return pieces
+
+
+@functools.lru_cache(maxsize=None)
+def _crt_plan(num_moduli: int, backend: str, out_bits: int):
+    """Static limb-accumulation plan.
+
+    Returns (base, L, terms, invp_top, p_terms):
+      base     -- exponent of limb 0's unit (limb li has unit 2^(base+20*li))
+      L        -- number of limbs
+      terms    -- ((plane_index, m_int, limb_idx, offset), ...): for each
+                  12-bit qPi piece, where its (m*r) product lands
+      invp_top -- f32 constant: invP * 2^(base + 20*(L-3)) for the quotient
+                  estimate from the top three limbs
+      p_terms  -- ((m_int, limb_idx, offset), ...) integer pieces of P
+                  (stored negative) for folding P*quot into the limbs
+    """
+    qp = np.asarray(tables.qPi_f32x(num_moduli, backend), np.float64)  # (nu,4)
+    p_hi = abs(tables.P_dd(num_moduli, backend)[0])
+    ptop = int(np.floor(np.log2(p_hi)))
+    # window: pieces cut below `base` contribute error <= 2^(base+11) each
+    # (piece remainder x residue), so base sits 11 bits under the target
+    # floor; the qPi tables' own ~96-bit truncation then bounds the total
+    # absolute error by ~P * 2^-80 (f64 outputs)
+    lo_bits = 95 if out_bits == 53 else 56
+    base = ptop - lo_bits
+    top = ptop + 16
+    L = -(-(top - base) // LIMB_BITS) + 1
+
+    def place(m_int, g):
+        d = g - base
+        li, off = divmod(d, LIMB_BITS)
+        return (m_int, li, off)
+
+    terms = []
+    for i in range(num_moduli):
+        for j in range(qp.shape[1]):
+            for m_int, g in _int_pieces(qp[i, j]):
+                if g + 23 < base or m_int == 0:
+                    continue
+                if g < base:      # partial: fold what remains above base
+                    # shift the piece up to the base grid, dropping sub-base
+                    # bits (error <= 2^base per piece, inside the budget)
+                    m_int = m_int >> (base - g)
+                    g = base
+                if m_int:
+                    terms.append((i,) + place(m_int, g))
+    pexp = np.asarray(tables.P_f32x(num_moduli, backend), np.float64)
+    p_terms = []
+    for v in pexp:
+        for m_int, g in _int_pieces(v):
+            if g + 26 < base or m_int == 0:
+                continue
+            if g < base:
+                m_int = m_int >> (base - g)
+                g = base
+            if m_int:
+                p_terms.append(place(m_int, g))
+    invp_top = np.float32(np.float64(tables.invP(num_moduli, backend))
+                          * 2.0 ** (base + LIMB_BITS * (L - 3)))
+    return base, L, tuple(terms), invp_top, tuple(p_terms)
+
+
+def _add_to_limbs(limbs: list, prod, li: int, off: int):
+    """Fold an int32 product (|prod| < 2^26) into limbs li/li+1 at bit offset
+    off (static). Floor-division split keeps the low part non-negative."""
+    if off == 0:
+        limbs[li] = limbs[li] + prod
+        return
+    hi = prod >> (LIMB_BITS - off)                    # arithmetic shift: floor
+    lo = prod - (hi << (LIMB_BITS - off))
+    limbs[li] = limbs[li] + (lo << off)
+    if li + 1 < len(limbs):
+        limbs[li + 1] = limbs[li + 1] + hi
+
+
+def crt_limbs(c_mid: jax.Array, num_moduli: int, backend: str, out_bits: int):
+    """Exact CRT accumulate + wrap into carry-normalized int32 limbs.
+
+    c_mid: (nu, m, n) wrapped residues. Returns (limbs, base): limbs is a
+    list of L int32 arrays with t = sum_li limbs[li] * 2^(base + 20*li),
+    |t| < P/2, every limb in [0, 2^20) except the (signed) top limb.
+    """
+    base, L, terms, invp_top, p_terms = _crt_plan(num_moduli, backend, out_bits)
+    planes = [c_mid[i].astype(jnp.int32) for i in range(num_moduli)]
+
+    shape = c_mid.shape[1:]
+    limbs = [jnp.zeros(shape, jnp.int32) for _ in range(L)]
+    for i, m_int, li, off in terms:
+        _add_to_limbs(limbs, np.int32(m_int) * planes[i], li, off)
+
+    # wrap: quot = rint(t * invP) from the top three limbs (f32; |quot|<2^14)
+    t_top = (limbs[L - 1].astype(jnp.float32) * np.float32(_LIMB)
+             + limbs[L - 2].astype(jnp.float32)) * np.float32(_LIMB) \
+        + limbs[L - 3].astype(jnp.float32)
+    quot = jnp.rint(t_top * invp_top).astype(jnp.int32)
+    for m_int, li, off in p_terms:
+        _add_to_limbs(limbs, np.int32(m_int) * quot, li, off)
+
+    # one BALANCED carry pass, low -> high: limbs in [-2^19, 2^19). Balanced
+    # (not [0, 2^20)) so a small-magnitude t leaves the high limbs at zero --
+    # the output assembly then never cancels large limb terms (which would
+    # round catastrophically in the output dtype for negative t).
+    half = 1 << (LIMB_BITS - 1)
+    for li in range(L - 1):
+        c = (limbs[li] + half) >> LIMB_BITS
+        limbs[li] = limbs[li] - (c << LIMB_BITS)
+        limbs[li + 1] = limbs[li + 1] + c
+    return limbs, base
+
+
+def pow2_f32(e: jax.Array) -> jax.Array:
+    """Exact 2^e f32 by exponent-field assembly; e must be in [-126, 127]."""
+    return jax.lax.bitcast_convert_type(
+        ((e.astype(jnp.int32) + 127) << 23), jnp.float32)
+
+
+def reconstruct_scale_ff(c_mid: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
+                         num_moduli: int, backend: str, out_dtype) -> jax.Array:
+    """Full TPU-native epilogue: exact limb CRT + inverse power-of-two scaling
+    + output assembly. Replaces crt_reconstruct + inverse_scale
+    (reference: inverse_scaling_real.hpp:56-89) on platforms without IEEE f64.
+
+    Each limb is scaled by its exact power of two in the output dtype and the
+    limbs are summed highest-first: the only roundings are the final additions
+    in the output dtype (<= L-1 of them, each correctly rounded).
+    """
+    from . import quantize
+    out_bits = 53 if np.dtype(out_dtype).itemsize == 8 else 24
+    limbs, base = crt_limbs(c_mid, num_moduli, backend, out_bits)
+    sft_sum = sft_a[:, None] + sft_b[None, :]
+    out = None
+    for li in range(len(limbs) - 1, -1, -1):
+        term = quantize.pow2_scale(
+            limbs[li].astype(out_dtype), base + LIMB_BITS * li - sft_sum)
+        out = term if out is None else out + term
+    return out

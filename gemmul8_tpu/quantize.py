@@ -56,11 +56,14 @@ def pow2(e: jax.Array, dtype) -> jax.Array:
 
 
 def pow2_scale(x: jax.Array, sft: jax.Array) -> jax.Array:
-    """x * 2^sft exactly (sft: int32, broadcastable). Split into two multiplies so
-    each 2^h stays in the normal range even when |sft| exceeds it."""
-    h1 = sft // 2
-    h2 = sft - h1
-    return (x * pow2(h1, x.dtype)) * pow2(h2, x.dtype)
+    """x * 2^sft exactly (sft: int32, broadcastable). Split into three
+    multiplies so each 2^h stays in the normal range even when |sft| far
+    exceeds it (covers |sft| <= 378 for f32 -- needed by the ff epilogue --
+    and ~3000 for f64); every factor is a power of two, so exact."""
+    h1 = sft // 3
+    h2 = (sft - h1) // 2
+    h3 = sft - h1 - h2
+    return ((x * pow2(h1, x.dtype)) * pow2(h2, x.dtype)) * pow2(h3, x.dtype)
 
 
 def f32_components(y: jax.Array, n_comp: int) -> list[jax.Array]:
@@ -233,13 +236,28 @@ def residues_wrapped(x: jax.Array, sft: jax.Array, scale_axis: int,
         parts.append((s, m_int, dpos))
     g = jnp.floor(G).astype(jnp.int32)   # joint carry of the fractional parts
 
+    # power-of-two lookup pw[i] = 2^dpos mod p_i for ALL moduli at once:
+    # a one-hot of dpos (built once per component) contracted with the
+    # mod_pow2 table on the MXU -- per-element gathers are slow on TPU,
+    # a (elems, MAX_EXP+1) x (MAX_EXP+1, nu) f32 matmul is not. Exact:
+    # one-hot is 0/1 and table entries are small integers.
+    n_exp = p2m.shape[1]
+    table_f = jnp.asarray(p2m[:num_moduli].T, jnp.float32)   # (n_exp, nu)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_exp), 1)
+    pws = []
+    for s, m_int, dpos in parts:
+        flat = dpos.reshape(-1, 1)
+        onehot = (flat == iota).astype(jnp.float32)          # (elems, n_exp)
+        pw = jax.lax.dot_general(onehot, table_f,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        pws.append(pw.astype(jnp.int32).reshape(dpos.shape + (num_moduli,)))
+
     planes = []
     for i, p in enumerate(mods):
-        row = jnp.asarray(p2m[i])        # (MAX_EXP+1,) wrapped powers of two mod p
         acc = g
-        for s, m_int, dpos in parts:
-            pw = jnp.take(row, dpos, axis=0)
-            acc = acc + s * (m_int % p) * pw
+        for (s, m_int, dpos), pw in zip(parts, pws):
+            acc = acc + s * (m_int % p) * pw[..., i]
         r = acc % p                       # in [0, p)
         r = jnp.where(2 * r >= p, r - p, r)  # wrap to [-p/2, p/2); 128 -> -128 for p=256
         planes.append(r)
