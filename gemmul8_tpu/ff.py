@@ -220,9 +220,44 @@ def reconstruct_scale_ff(c_mid: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
     out_bits = 53 if np.dtype(out_dtype).itemsize == 8 else 24
     limbs, base = crt_limbs(c_mid, num_moduli, backend, out_bits)
     sft_sum = sft_a[:, None] + sft_b[None, :]
-    out = None
-    for li in range(len(limbs) - 1, -1, -1):
-        term = quantize.pow2_scale(
-            limbs[li].astype(out_dtype), base + LIMB_BITS * li - sft_sum)
-        out = term if out is None else out + term
-    return out
+
+    if jax.default_backend() == "cpu" and out_bits == 53:
+        # true-IEEE-f64 platform: scale each limb in f64 (full exponent range)
+        out = None
+        for li in range(len(limbs) - 1, -1, -1):
+            term = quantize.pow2_scale(
+                limbs[li].astype(out_dtype), base + LIMB_BITS * li - sft_sum)
+            out = term if out is None else out + term
+        return out
+
+    # accelerator path: f64 is an emulated f32 pair (both storage and every
+    # op), so all values live in f32's exponent range anyway. The descale
+    # factor 2^(base+20li-sftA[i]-sftB[j]) factorizes: per-limb STATIC scalar
+    # x rank-1 row/column pow2 vectors (each split in half to stay in f32's
+    # exponent range). All multiplies are exact powers of two; limbs merge
+    # smallest-first through a compensated two_sum chain, costing ONE
+    # emulated-f64 add at the very end.
+    ha = (-sft_a) // 2
+    fa1 = pow2_f32(ha)[:, None]
+    fa2 = pow2_f32(-sft_a - ha)[:, None]
+    hb = (-sft_b) // 2
+    fb1 = pow2_f32(hb)[None, :]
+    fb2 = pow2_f32(-sft_b - hb)[None, :]
+    hi = None
+    lo = None
+    for li in range(len(limbs)):          # smallest-first
+        e_static = base + LIMB_BITS * li
+        s1 = np.float32(2.0 ** (e_static // 2))
+        s2 = np.float32(2.0 ** (e_static - e_static // 2))
+        term = limbs[li].astype(jnp.float32) * s1
+        term = ((term * fa1) * fb1) * s2
+        term = (term * fa2) * fb2
+        if hi is None:
+            hi = term
+            lo = jnp.zeros_like(term)
+        else:
+            hi, err = two_sum(hi, term)
+            lo = lo + err
+    if out_bits == 24:
+        return (hi + lo).astype(out_dtype)
+    return hi.astype(out_dtype) + lo.astype(out_dtype)

@@ -120,21 +120,31 @@ def shift_fast(x: jax.Array, num_moduli: int, backend: str, reduce_axis: int) ->
     """Per-row (reduce_axis=1) or per-column (reduce_axis=0) quantization shift:
     sft = floor(log2P - 1.5 - max(1, ~0.5*log2(sum x^2))) - ilogb(amax).
     Returns int32 of shape x.shape without reduce_axis; zero rows get sft=0."""
-    ax = jnp.abs(x)
-    amax = jnp.max(ax, axis=reduce_axis)
-    E = ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
+    # The norm/amax math runs in f32 on the leading f32 component of x plus a
+    # conservative inflation covering the discarded tail: the shift only
+    # needs a handful of correct bits, f32 ops are fast and bit-identical on
+    # CPU and TPU, and f64 reductions would run through XLA's slow
+    # emulated-f64 on TPU. Values below f32's range (CPU-only f64 inputs)
+    # quantize to zero rows exactly as amax==0 rows do in the reference.
+    c0 = jnp.abs(x.astype(jnp.float32) if x.dtype != jnp.float32 else x)
+    amax0 = jnp.max(c0, axis=reduce_axis)
+    safe = jnp.where(amax0 > 0, amax0, jnp.ones_like(amax0))
+    # inflation keeps E an upper bound when the |c1| tail pushes |x| across a
+    # power of two (a larger E only shrinks sft: the safe side)
+    E = ilogb(safe * np.float32(1.0 + 2.0 ** -22))
     # overflow-safe norm: scale the row to ~[0,1] first (improves on the
     # reference, whose f32 norm overflows for large-magnitude rows)
-    z = pow2_scale(ax, -jnp.expand_dims(E, reduce_axis))
+    z = pow2_scale(c0, -jnp.expand_dims(E, reduce_axis))
     s2 = jnp.sum(z * z, axis=reduce_axis)
-    log2vsum = jnp.log2(jnp.maximum(s2, jnp.asarray(np.finfo(s2.dtype).tiny, s2.dtype))
-                        ).astype(jnp.float32) + 2.0 * E.astype(jnp.float32)
+    log2vsum = (jnp.log2(jnp.maximum(s2, np.float32(2.0 ** -120)))
+                + np.float32(2.0) * E.astype(jnp.float32)
+                + np.float32(2.0 ** -18))   # round-up analog for the tail
     log2vnrm = np.float32(LOG2_HALF_RU) * log2vsum
     log2p = np.float32(tables.log2P(num_moduli, backend))
     exp1 = (log2p - np.float32(1.5) - jnp.maximum(np.float32(1.0), log2vnrm)
             - np.float32(SFT_MARGIN))
     sft = jnp.floor(exp1).astype(jnp.int32) - E
-    return jnp.where(amax > 0, sft, jnp.int32(0))
+    return jnp.where(amax0 > 0, sft, jnp.int32(0))
 
 
 # ---------------------------------------------------------------------------
@@ -199,7 +209,11 @@ def shift_accu_from_chi(c_hi_max: jax.Array, sft_pre: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _n_comp(dtype) -> int:
-    return 1 if dtype == jnp.float32 else 3
+    if dtype == jnp.float32:
+        return 1
+    # on accelerators f64 is stored as an f32 pair: the third component is
+    # structurally zero, so two components capture the full stored value
+    return 3 if jax.default_backend() == "cpu" else 2
 
 
 def residues_wrapped(x: jax.Array, sft: jax.Array, scale_axis: int,
@@ -236,28 +250,45 @@ def residues_wrapped(x: jax.Array, sft: jax.Array, scale_axis: int,
         parts.append((s, m_int, dpos))
     g = jnp.floor(G).astype(jnp.int32)   # joint carry of the fractional parts
 
-    # power-of-two lookup pw[i] = 2^dpos mod p_i for ALL moduli at once:
-    # a one-hot of dpos (built once per component) contracted with the
-    # mod_pow2 table on the MXU -- per-element gathers are slow on TPU,
-    # a (elems, MAX_EXP+1) x (MAX_EXP+1, nu) f32 matmul is not. Exact:
-    # one-hot is 0/1 and table entries are small integers.
-    n_exp = p2m.shape[1]
-    table_f = jnp.asarray(p2m[:num_moduli].T, jnp.float32)   # (n_exp, nu)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_exp), 1)
-    pws = []
+    # Build the quantized integer v = g + sum_c s*m_int*2^dpos in 20-bit
+    # int32 LIMBS on a static grid (the same trick as the ff epilogue, ff.py):
+    # each component's 24-bit mantissa is split across two adjacent limbs by
+    # a dynamic in-limb shift + static limb selects -- all cheap exact VPU int
+    # ops, no per-element gathers, no one-hot matmuls, no big intermediates.
+    # After one balanced carry pass (|limb| < 2^19), each modulus costs only
+    # a tiny dot with the STATIC scalars 2^(20*li) mod p.
+    dpos_max = int(tables.log2P(num_moduli, backend)) + 3
+    n_limbs = dpos_max // 20 + 2
+    limbs = [g] + [jnp.zeros_like(g) for _ in range(n_limbs - 1)]
     for s, m_int, dpos in parts:
-        flat = dpos.reshape(-1, 1)
-        onehot = (flat == iota).astype(jnp.float32)          # (elems, n_exp)
-        pw = jax.lax.dot_general(onehot, table_f,
-                                 (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        pws.append(pw.astype(jnp.int32).reshape(dpos.shape + (num_moduli,)))
+        off = dpos % 20
+        li = dpos // 20
+        sh = 20 - off
+        mhi = jnp.right_shift(m_int, sh)
+        mlo = m_int - jnp.left_shift(mhi, sh)
+        c_lo = s * jnp.left_shift(mlo, off)          # < 2^20
+        c_hi = s * mhi                                    # < 2^23
+        for lv in range(n_limbs):
+            sel_lo = jnp.where(li == lv, c_lo, 0)
+            sel_hi = jnp.where(li == lv - 1, c_hi, 0)
+            limbs[lv] = limbs[lv] + sel_lo + sel_hi
+    # balanced carry: every limb into [-2^19, 2^19), top limb keeps the rest
+    half = jnp.int32(1 << 19)
+    for lv in range(n_limbs - 1):
+        c = (limbs[lv] + half) >> 20
+        limbs[lv] = limbs[lv] - jnp.left_shift(c, 20)
+        limbs[lv + 1] = limbs[lv + 1] + c
 
     planes = []
     for i, p in enumerate(mods):
-        acc = g
-        for (s, m_int, dpos), pw in zip(parts, pws):
-            acc = acc + s * (m_int % p) * pw[..., i]
+        # w_li = wrap(2^(20*li) mod p): |limb * w| <= 2^19 * p/2 and the
+        # n_limbs-term sum stays far inside int32
+        acc = limbs[0]
+        for lv in range(1, n_limbs):
+            w = int(p2m[i, 20 * lv]) if 20 * lv <= tables.MAX_EXP else \
+                pow(2, 20 * lv, p)
+            w = w - p if 2 * (w % p) >= p else w % p
+            acc = acc + limbs[lv] * jnp.int32(w)
         r = acc % p                       # in [0, p)
         r = jnp.where(2 * r >= p, r - p, r)  # wrap to [-p/2, p/2); 128 -> -128 for p=256
         planes.append(r)
