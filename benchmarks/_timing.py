@@ -1,0 +1,61 @@
+"""Shared device-timing helpers for the benchmark harnesses.
+
+On tunneled PJRT transports (the axon TPU terminal) `block_until_ready()`
+returns at dispatch-ack, not completion, so wall-clock timing must be anchored
+on a device->host SCALAR fetch, which cannot complete before the computation
+does. All iterations chain inside one jit (loop-carried dependency) and only
+one scalar crosses the wire; the dispatch ping is measured and subtracted.
+"""
+import time
+
+import numpy as np
+
+
+def ping_seconds() -> float:
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def ping(x):
+        return jnp.sum(x[:4, :4])
+
+    x = jnp.ones((8, 8), jnp.float32)
+    np.asarray(ping(x))
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(ping(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def timed_loop(fn, a, b, iters, ping=None, reps=3):
+    """Median over `reps` measurements of seconds-per-call for fn(a, b)."""
+    import jax
+    import jax.numpy as jnp
+
+    if ping is None:
+        ping = ping_seconds()
+
+    @jax.jit
+    def loop(a, b):
+        def body(i, carry):
+            s, a = carry
+            # loop-carried dependency: the GEMM cannot be hoisted; the full
+            # reduction prevents slice propagation
+            a = a.at[(0,) * a.ndim].set(a[(0,) * a.ndim] + s * 1e-30)
+            c = fn(a, b)
+            return (jnp.sum(jnp.real(c)).astype(a.real.dtype
+                    if jnp.iscomplexobj(a) else a.dtype), a)
+        z = jnp.zeros((), a.real.dtype if jnp.iscomplexobj(a) else a.dtype)
+        s, _ = jax.lax.fori_loop(0, iters, body, (z, a))
+        return s
+
+    np.asarray(loop(a, b))        # compile + warm up
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(a, b))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return max(ts[len(ts) // 2] - ping, 1e-9) / iters

@@ -11,36 +11,14 @@ import datetime
 import functools
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def timed_loop(fn, a, b, iters):
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def loop(a, b):
-        def body(i, carry):
-            s, a = carry
-            # loop-carried dependency + full consumption of c (slicing c would
-            # let XLA shrink the GEMM)
-            a = a.at[0, 0].set(a[0, 0] + s * 1e-300)
-            c = fn(a, b)
-            return (jnp.sum(jnp.real(c)).astype(jnp.float64), a)
-        s, _ = jax.lax.fori_loop(0, iters, body, (jnp.float64(0), a))
-        return s
-
-    loop(a, b).block_until_ready()
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        loop(a, b).block_until_ready()
-        ts.append((time.perf_counter() - t0) / iters)
-    return sorted(ts)[1]  # median of 3 loop runs
+from _timing import timed_loop  # noqa: E402  (scalar-fetch anchored timing)
 
 
 def main():
@@ -94,7 +72,7 @@ def main():
             t = timed_loop(emul, aj, bj, args.iters)
             tflops = flop_factor * m * n * k / t / 1e12
             ph = ["", "", "", ""]
-            if args.phases and not is_cplx:
+            if args.phases and not is_cplx and jax.default_backend() == "cpu":
                 _, phases = core.gemm_with_phases(aj, bj, num_moduli=nu, iters=3)
                 ph = [phases["quantize"], phases["matmul"],
                       phases["mod_reduce"], phases["crt_inverse"]]

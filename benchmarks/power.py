@@ -1,0 +1,183 @@
+#!/usr/bin/env python3
+"""Power/efficiency benchmark: watts + GFLOPS/W for the emulated GEMM.
+
+Mirrors the reference's power protocol (testing/test_watt.hpp +
+getWatt.hpp:94-121): a sampling thread polls device power every 100 ms while a
+>= `--seconds` GEMM loop runs; energy is the trapezoidal integral of the
+samples; efficiency = total FLOPs / energy.
+
+Power sources, auto-detected in order (TPUs expose no NVML; the tunneled v5e
+terminal exposes no power telemetry at all, in which case the harness reports
+the protocol result with watts = n/a rather than inventing numbers):
+  1. `tpu-info` / libtpu metrics service (TPU VMs)
+  2. Linux RAPL (/sys/class/powercap) -- CPU-only runs
+  3. none -> watts/gflops_per_watt reported as NaN
+
+Usage: python benchmarks/power.py [--size 4096] [--nu 16] [--seconds 10]
+"""
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+class TpuInfoSampler:
+    """Polls libtpu's metrics endpoint via the `tpu-info` CLI (TPU VMs)."""
+
+    @staticmethod
+    def available() -> bool:
+        try:
+            r = subprocess.run(["tpu-info", "--metric", "power"], timeout=5,
+                               capture_output=True, text=True)
+            return r.returncode == 0 and "W" in r.stdout
+        except Exception:
+            return False
+
+    def sample(self) -> float:
+        r = subprocess.run(["tpu-info", "--metric", "power"], timeout=5,
+                           capture_output=True, text=True)
+        watts = 0.0
+        for tok in r.stdout.split():
+            try:
+                watts += float(tok.rstrip("W"))
+            except ValueError:
+                pass
+        return watts
+
+
+class RaplSampler:
+    """Linux RAPL energy counters (CPU packages): watts from dE/dt."""
+
+    BASE = "/sys/class/powercap"
+
+    @classmethod
+    def _zones(cls):
+        import glob
+        return sorted(glob.glob(os.path.join(cls.BASE, "intel-rapl:?")))
+
+    @classmethod
+    def available(cls) -> bool:
+        zones = cls._zones()
+        if not zones:
+            return False
+        try:
+            open(os.path.join(zones[0], "energy_uj")).read()
+            return True
+        except Exception:
+            return False
+
+    def __init__(self):
+        self._last = None
+
+    def sample(self) -> float:
+        now = time.time()
+        uj = sum(int(open(os.path.join(z, "energy_uj")).read())
+                 for z in self._zones())
+        if self._last is None:
+            self._last = (now, uj)
+            return 0.0
+        t0, e0 = self._last
+        self._last = (now, uj)
+        return (uj - e0) * 1e-6 / max(now - t0, 1e-6)
+
+
+def pick_sampler():
+    if TpuInfoSampler.available():
+        return TpuInfoSampler(), "tpu-info"
+    if RaplSampler.available():
+        return RaplSampler(), "rapl"
+    return None, "none"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=4096)
+    ap.add_argument("--nu", type=int, default=16)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--period", type=float, default=0.1,
+                    help="sampling period (reference: 100 ms)")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from gemmul8_tpu import core
+
+    m = n = k = args.size
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((m, k)))
+    b = jnp.asarray(rng.standard_normal((k, n)))
+
+    inner = 8
+
+    @jax.jit
+    def loop(a, b):
+        def body(i, carry):
+            s, a = carry
+            a = a.at[0, 0].set(a[0, 0] + s * 1e-30)
+            c = core.emulate_matmul(a, b, num_moduli=args.nu)
+            return (jnp.sum(c).astype(a.dtype), a)
+        s, _ = jax.lax.fori_loop(0, inner, body, (jnp.zeros((), a.dtype), a))
+        return s
+
+    np.asarray(loop(a, b))  # compile + warm up
+
+    sampler, source = pick_sampler()
+    samples = []  # (t, watts)
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            w = sampler.sample() if sampler else float("nan")
+            samples.append((time.time(), w))
+            stop.wait(args.period)
+
+    th = threading.Thread(target=poll, daemon=True)
+    th.start()
+
+    calls = 0
+    t0 = time.time()
+    while time.time() - t0 < args.seconds:
+        np.asarray(loop(a, b))
+        calls += inner
+    elapsed = time.time() - t0
+    stop.set()
+    th.join(timeout=2)
+
+    flops = 2.0 * m * n * k * calls
+    tflops = flops / elapsed / 1e12
+    if sampler and len(samples) >= 2:
+        # trapezoidal energy integral (reference: getWatt.hpp:94-121)
+        ts = np.array([s[0] for s in samples])
+        ws = np.array([s[1] for s in samples])
+        energy_j = float(np.trapezoid(ws, ts))
+        watts = energy_j / (ts[-1] - ts[0])
+        gflops_per_watt = flops / 1e9 / max(energy_j, 1e-9)
+    else:
+        watts = float("nan")
+        gflops_per_watt = float("nan")
+
+    result = {
+        "size": args.size, "num_moduli": args.nu, "seconds": round(elapsed, 2),
+        "gemm_calls": calls, "tflops": round(tflops, 3),
+        "power_source": source, "watts": watts,
+        "gflops_per_watt": gflops_per_watt,
+        "device": jax.devices()[0].device_kind,
+        "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

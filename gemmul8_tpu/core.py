@@ -312,27 +312,45 @@ def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
         return reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
                                  a.dtype, epilogue)
 
+    # Timing is anchored on a device->host scalar fetch: on tunneled PJRT
+    # transports block_until_ready() returns at dispatch-ack, so each phase is
+    # forced by fetching a tiny reduction of its output; the measured dispatch
+    # ping is subtracted from every phase.
+    def force(x):
+        leaves = jax.tree_util.tree_leaves(x)
+        for leaf in leaves:
+            np.asarray(jnp.sum(leaf.astype(jnp.float32)))
+        return x
+
+    @jax.jit
+    def _ping(x):
+        return jnp.sum(x[:2, :2])
+    np.asarray(_ping(a))
+    t0 = time.perf_counter()
+    np.asarray(_ping(a))
+    ping = time.perf_counter() - t0
+
     # warmup/compile
-    pa, sa, pb, sb = jax.block_until_ready(q(a, b))
-    c_hi = jax.block_until_ready(mm(pa, pb))
-    c_mid = jax.block_until_ready(mr(c_hi))
-    out = jax.block_until_ready(ci(c_mid, sa, sb))
+    pa, sa, pb, sb = force(q(a, b))
+    c_hi = force(mm(pa, pb))
+    c_mid = force(mr(c_hi))
+    out = force(ci(c_mid, sa, sb))
 
     times = dict.fromkeys(("quantize", "matmul", "mod_reduce", "crt_inverse"), 0.0)
     for _ in range(iters):
         t0 = time.perf_counter()
-        pa, sa, pb, sb = jax.block_until_ready(q(a, b))
+        pa, sa, pb, sb = force(q(a, b))
         t1 = time.perf_counter()
-        c_hi = jax.block_until_ready(mm(pa, pb))
+        c_hi = force(mm(pa, pb))
         t2 = time.perf_counter()
-        c_mid = jax.block_until_ready(mr(c_hi))
+        c_mid = force(mr(c_hi))
         t3 = time.perf_counter()
-        out = jax.block_until_ready(ci(c_mid, sa, sb))
+        out = force(ci(c_mid, sa, sb))
         t4 = time.perf_counter()
-        times["quantize"] += t1 - t0
-        times["matmul"] += t2 - t1
-        times["mod_reduce"] += t3 - t2
-        times["crt_inverse"] += t4 - t3
+        times["quantize"] += max(t1 - t0 - 4 * ping, 0.0)
+        times["matmul"] += max(t2 - t1 - ping, 0.0)
+        times["mod_reduce"] += max(t3 - t2 - ping, 0.0)
+        times["crt_inverse"] += max(t4 - t3 - ping, 0.0)
     return out, {k: v / iters for k, v in times.items()}
 
 

@@ -33,9 +33,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import core, quantize, tables
 
-# fixed-point scale for the order-free norm accumulation (z^2 <= ~1 scaled by 2^F;
-# k*2^F must fit int64: F=32 leaves room for k up to 2^30)
-_NORM_FIX_BITS = 32
+# fixed-point scale for the order-free norm accumulation (z^2 <= ~1 scaled by
+# 2^F as int32 per element; the reduction accumulates in int64, leaving room
+# for k up to 2^33)
+_NORM_FIX_BITS = 30
 
 
 def make_mesh(shape=None, axis_names=("x", "y")) -> Mesh:
@@ -60,25 +61,31 @@ def _ilogb_pmax(ax, reduce_axis, axis_name):
 def _shift_fast_dist(x, num_moduli, backend, reduce_axis, axis_name):
     """Distributed fast-mode shift: identical bits for ANY sharding of the
     reduced axis. amax via pmax (exact); norm via fixed-point integer psum
-    (associative, order-free), replacing the float sum of quantize.shift_fast."""
-    ax = jnp.abs(x)
-    E, amax = _ilogb_pmax(ax, reduce_axis, axis_name)
-    z = quantize.pow2_scale(ax, -jnp.expand_dims(E, reduce_axis))
-    zz = (z * z).astype(jnp.float64)
-    fx = jnp.floor(zz * np.float64(2.0 ** _NORM_FIX_BITS)).astype(jnp.int64)
-    s2_int = jax.lax.psum(jnp.sum(fx, axis=reduce_axis), axis_name)
+    (associative, order-free), replacing the float sum of quantize.shift_fast.
+    Like quantize.shift_fast, the norm math runs in f32 on the leading f32
+    component (fast + bit-identical everywhere), with conservative tail
+    inflation so the anti-overflow guarantee holds."""
+    c0 = jnp.abs(x.astype(jnp.float32) if x.dtype != jnp.float32 else x)
+    E, amax0 = _ilogb_pmax(c0 * np.float32(1.0 + 2.0 ** -22), reduce_axis,
+                           axis_name)
+    z = quantize.pow2_scale(c0, -jnp.expand_dims(E, reduce_axis))
+    fx = jnp.floor((z * z) * np.float32(2.0 ** _NORM_FIX_BITS)).astype(jnp.int32)
+    s2_int = jax.lax.psum(
+        jnp.sum(fx, axis=reduce_axis, dtype=jnp.int64), axis_name)
     # +1 makes it a (tiny) upper bias and guards log2(0)
-    s2 = (s2_int + 1).astype(jnp.float64) * np.float64(2.0 ** -_NORM_FIX_BITS)
-    log2vsum = jnp.log2(s2).astype(jnp.float32) + 2.0 * E.astype(jnp.float32)
+    s2 = (s2_int + 1).astype(jnp.float32)
+    log2vsum = (jnp.log2(s2) - np.float32(_NORM_FIX_BITS)
+                + np.float32(2.0) * E.astype(jnp.float32)
+                + np.float32(2.0 ** -18))   # tail inflation
     log2vnrm = np.float32(quantize.LOG2_HALF_RU) * log2vsum
     log2p = np.float32(tables.log2P(num_moduli, backend))
     exp1 = (log2p - np.float32(1.5) - jnp.maximum(np.float32(1.0), log2vnrm)
             - np.float32(quantize.SFT_MARGIN))
     sft = jnp.floor(exp1).astype(jnp.int32) - E
-    return jnp.where(amax > 0, sft, jnp.int32(0))
+    return jnp.where(amax0 > 0, sft, jnp.int32(0))
 
 
-def _summa_local(a_blk, b_blk, num_moduli, fastmode, backend):
+def _summa_local(a_blk, b_blk, num_moduli, fastmode, backend, epilogue):
     """shard_map body: local quantize -> int8 plane all-gathers -> local exact
     residue GEMM -> local CRT + inverse scaling."""
     del fastmode  # distributed path currently uses (distributed) fast shifts
@@ -91,13 +98,14 @@ def _summa_local(a_blk, b_blk, num_moduli, fastmode, backend):
     ag = jax.lax.all_gather(pa, "y", axis=2, tiled=True)   # (nu, m/X, k)
     bg = jax.lax.all_gather(pb, "x", axis=1, tiled=True)   # (nu, k, n/Y)
     c_mid = core.residue_gemm(ag, bg, num_moduli, backend)
-    t = core.crt_reconstruct(c_mid, num_moduli, backend, a_blk.dtype)
-    return core.inverse_scale(t, sft_a, sft_b, a_blk.dtype)
+    return core.reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
+                                  a_blk.dtype, epilogue)
 
 
 def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
                num_moduli: int = 8, fastmode: bool = True,
-               backend: str = tables.Backend.INT8) -> jax.Array:
+               backend: str = tables.Backend.INT8,
+               epilogue: str = "auto") -> jax.Array:
     """Distributed emulated GEMM: C = A @ B over a 2D mesh.
 
     a: (m, k), b: (k, n); m, k divisible by mesh.x and k, n by mesh.y.
@@ -115,6 +123,7 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
     b = jax.device_put(b, NamedSharding(mesh, spec))
     fn = jax.shard_map(
         functools.partial(_summa_local, num_moduli=num_moduli,
-                          fastmode=fastmode, backend=backend),
+                          fastmode=fastmode, backend=backend,
+                          epilogue=epilogue),
         mesh=mesh, in_specs=(spec, spec), out_specs=spec)
     return jax.jit(fn)(a, b)
