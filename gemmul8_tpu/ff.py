@@ -93,6 +93,109 @@ def _int_pieces(value_f64: float, max_bits: int = 12):
 
 
 @functools.lru_cache(maxsize=None)
+def _crt_matrix_plan(num_moduli: int, backend: str, out_bits: int):
+    """Matrix-form CRT plan (the production path).
+
+    The CRT sum t = sum_i qPi * r_i + P * quot is LINEAR in the residues, so
+    the limb accumulation is a matmul: decompose each EXACT integer qPi
+    (recomputed here with pure python ints -- no table truncation at all)
+    into 8-bit column coefficients on a static grid, and contract
+    (nu, elems) residues with the (nu, n_cols) coefficient matrix on the MXU.
+    Products are <= 255 * p_max/2 < 2^18 and column sums <= nu * 2^18 < 2^23:
+    exact in f32 accumulation.
+
+    Returns (base, n_cols, C, pcols, invp_top):
+      base    -- bit position of column 0 (column j has unit 2^(base+8j))
+      C       -- (nu, n_cols) f32 of 8-bit slices of qPi (>> base)
+      pcols   -- (n_cols,) f32 of 8-bit slices of P (positive)
+      invp_top-- f32 of 1/P * 2^(base + 8*(n_cols-4)) for the quotient
+    """
+    mods = [int(p) for p in tables.moduli(backend)[:num_moduli]]
+    P = 1
+    for p in mods:
+        P *= p
+    qpis = []
+    for p in mods:
+        Pi = P // p
+        q = pow(Pi % p, -1, p)
+        qpis.append(q * Pi)                      # exact integer q_i * P / p_i
+    ptop = P.bit_length() - 1
+    lo_bits = 95 if out_bits == 53 else 56
+    base = max(ptop - lo_bits, 0)
+    top = ptop + 16
+    n_cols = -(-(top - base) // 8)
+    C = np.zeros((num_moduli, n_cols), np.float32)
+    for i, v in enumerate(qpis):
+        v >>= base
+        for j in range(n_cols):
+            C[i, j] = np.float32(v & 0xFF)
+            v >>= 8
+    pcols = np.zeros((n_cols,), np.float32)
+    v = P >> base
+    for j in range(n_cols):
+        pcols[j] = np.float32(v & 0xFF)
+        v >>= 8
+    L = (n_cols + 1) // 2
+    n_est = min(3, L)
+    invp_top = np.float32(2.0 ** (base + 16 * (L - n_est)) / P)
+    return base, n_cols, C, pcols, invp_top
+
+
+def crt_limbs_matrix(c_mid: jax.Array, num_moduli: int, backend: str,
+                     out_bits: int):
+    """Exact CRT accumulate + wrap via one MXU matmul over the modulus axis.
+
+    c_mid: (nu, m, n) wrapped residues. Returns (limbs, base): L int32 arrays
+    of 16-bit balanced limbs (unit 2^(base+16*li)), summing to the
+    reconstructed integer t, |t| < P/2. The ONLY inexactness anywhere is the
+    static sub-base cutoff (absolute error <= nu * 2^(base+11), ~P * 2^-84).
+    """
+    base, n_cols, C, pcols, invp_top = _crt_matrix_plan(
+        num_moduli, backend, out_bits)
+    res_f = c_mid.astype(jnp.float32)            # (nu, m, n), |r| <= p/2
+    cols = jax.lax.dot_general(
+        res_f, jnp.asarray(C), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (m, n, n_cols) exact ints
+
+    # merge 8-bit column pairs into 16-bit limbs (int32)
+    L = (n_cols + 1) // 2
+    limbs = []
+    for li in range(L):
+        v = cols[..., 2 * li].astype(jnp.int32)
+        if 2 * li + 1 < n_cols:
+            v = v + (cols[..., 2 * li + 1].astype(jnp.int32) << 8)
+        limbs.append(v)
+
+    half = jnp.int32(1 << 15)
+
+    def carry(limbs):
+        for li in range(L - 1):
+            c = (limbs[li] + half) >> 16
+            limbs[li] = limbs[li] - (c << 16)
+            limbs[li + 1] = limbs[li + 1] + c
+        return limbs
+
+    # NORMALIZE FIRST, then estimate the wrap quotient from the top three
+    # balanced limbs (|limb| < 2^15 means the discarded lower limbs
+    # contribute < 2^-17 relatively -- estimating from raw column sums would
+    # be off by up to 2^-8 of a quotient unit and wrap by whole multiples
+    # of P). |quot| <= nu*p_max/2 < 2^14: exact in f32; P's 16-bit pieces
+    # times quot stay below 2^30.
+    limbs = carry(limbs)
+    t_top = limbs[L - 1].astype(jnp.float32)
+    for i in range(2, min(3, L) + 1):
+        t_top = t_top * np.float32(65536.0) + limbs[L - i].astype(jnp.float32)
+    quot = jnp.rint(t_top * invp_top).astype(jnp.int32)
+    for li in range(L):
+        p16 = int(pcols[2 * li]) + (int(pcols[2 * li + 1]) << 8
+                                    if 2 * li + 1 < n_cols else 0)
+        if p16:
+            limbs[li] = limbs[li] - quot * np.int32(p16)
+    limbs = carry(limbs)
+    return limbs, base
+
+
+@functools.lru_cache(maxsize=None)
 def _crt_plan(num_moduli: int, backend: str, out_bits: int):
     """Static limb-accumulation plan.
 
@@ -218,7 +321,8 @@ def reconstruct_scale_ff(c_mid: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
     """
     from . import quantize
     out_bits = 53 if np.dtype(out_dtype).itemsize == 8 else 24
-    limbs, base = crt_limbs(c_mid, num_moduli, backend, out_bits)
+    limbs, base = crt_limbs_matrix(c_mid, num_moduli, backend, out_bits)
+    lb = 16                                      # matrix-path limb width
     sft_sum = sft_a[:, None] + sft_b[None, :]
 
     if jax.default_backend() == "cpu" and out_bits == 53:
@@ -226,7 +330,7 @@ def reconstruct_scale_ff(c_mid: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
         out = None
         for li in range(len(limbs) - 1, -1, -1):
             term = quantize.pow2_scale(
-                limbs[li].astype(out_dtype), base + LIMB_BITS * li - sft_sum)
+                limbs[li].astype(out_dtype), base + lb * li - sft_sum)
             out = term if out is None else out + term
         return out
 
@@ -246,7 +350,7 @@ def reconstruct_scale_ff(c_mid: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
     hi = None
     lo = None
     for li in range(len(limbs)):          # smallest-first
-        e_static = base + LIMB_BITS * li
+        e_static = base + lb * li
         s1 = np.float32(2.0 ** (e_static // 2))
         s2 = np.float32(2.0 ** (e_static - e_static // 2))
         term = limbs[li].astype(jnp.float32) * s1

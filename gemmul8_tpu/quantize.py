@@ -279,15 +279,19 @@ def residues_wrapped(x: jax.Array, sft: jax.Array, scale_axis: int,
         limbs[lv] = limbs[lv] - jnp.left_shift(c, 20)
         limbs[lv + 1] = limbs[lv + 1] + c
 
+    # Residues of v for all moduli: a tiny per-modulus dot against the STATIC
+    # scalars wrap(2^(20*lv) mod p) -- the limbs stay in registers and the
+    # only output is the int8 plane itself. (An MXU matrix form was tried and
+    # measured SLOWER here: the (elems, 2L) f32 operand and (elems, nu) f32
+    # result materialize ~2 GB of intermediates at 4096^2 that the fused VPU
+    # loop never touches.)
     planes = []
     for i, p in enumerate(mods):
-        # w_li = wrap(2^(20*li) mod p): |limb * w| <= 2^19 * p/2 and the
-        # n_limbs-term sum stays far inside int32
+        # |limb * w| <= 2^19 * p/2 and the n_limbs-term sum fits int32
         acc = limbs[0]
         for lv in range(1, n_limbs):
-            w = int(p2m[i, 20 * lv]) if 20 * lv <= tables.MAX_EXP else \
-                pow(2, 20 * lv, p)
-            w = w - p if 2 * (w % p) >= p else w % p
+            w = pow(2, 20 * lv, p)
+            w = w - p if 2 * w >= p else w
             acc = acc + limbs[lv] * jnp.int32(w)
         r = acc % p                       # in [0, p)
         r = jnp.where(2 * r >= p, r - p, r)  # wrap to [-p/2, p/2); 128 -> -128 for p=256

@@ -56,6 +56,16 @@ def test_crt_ff_reconstructs_exactly(nu, backend):
     limbs, base = ff.crt_limbs(jnp.asarray(res)[:, :, None], nu, backend, 53)
     got = sum(np.asarray(l, np.float64)[:, 0] * 2.0 ** (base + ff.LIMB_BITS * i)
               for i, l in enumerate(limbs))
+    # matrix-form production path (exact python-int qPi, 16-bit limbs)
+    limbs_m, base_m = ff.crt_limbs_matrix(jnp.asarray(res)[:, :, None], nu,
+                                          backend, 53)
+    got_m = sum(np.asarray(l, np.float64)[:, 0] * 2.0 ** (base_m + 16 * i)
+                for i, l in enumerate(limbs_m))
+    err_m = np.abs(got_m - v.astype(np.float64))
+    if float(P) * 2.0 ** -78 < 0.5:
+        np.testing.assert_array_equal(got_m, v.astype(np.float64))
+    else:
+        assert err_m.max() <= float(P) * 2.0 ** -78
     # the limb accumulation is EXACT; the only error source is the ~96-bit
     # truncation of the qPi tables plus the sub-base piece cutoff:
     # absolute error <= P * 2^-78 (measured ~P * 2^-86). Exact whenever the
