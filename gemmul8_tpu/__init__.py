@@ -6,6 +6,7 @@ JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md
 """
 from . import tables
 from .config import GemmConfig, env_config
+from .complex_gemm import gemm_planar
 from .core import (QuantizedOperand, gemm, gemm_quantized, gemm_with_phases,
                    matmul, precompute, work_bytes)
 from .hook import emulate, install, refresh, uninstall
@@ -15,7 +16,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "gemm", "matmul", "gemm_quantized", "precompute", "QuantizedOperand",
-    "work_bytes", "gemm_with_phases",
+    "work_bytes", "gemm_with_phases", "gemm_planar",
     "Backend", "GemmConfig", "env_config", "tables",
     "emulate", "install", "refresh", "uninstall",
 ]

@@ -29,13 +29,13 @@ from . import core, quantize, tables
 _REAL_DTYPE = {np.dtype("complex64"): jnp.float32, np.dtype("complex128"): jnp.float64}
 
 
-def _quantize_complex(x, sft, scale_axis, num_moduli, backend, conj):
+def _quantize_complex(re, im, sft, scale_axis, num_moduli, backend, conj):
     """Emit the 3 lane plane-sets (Re, Im, (Re+Im) mod p) for one operand.
 
     Returns (3, nu, r, c) int8 for INT8, (3, nu, 3, r, c) bf16 for FP8
     (reference: mod.hpp:315-326 complex ModUnroll; fp8 lanes mirror f8x9)."""
-    re = jnp.real(x)
-    im = -jnp.imag(x) if conj else jnp.imag(x)
+    if conj:
+        im = -im
     rr = quantize.residues_wrapped(re, sft, scale_axis, num_moduli, backend)
     ri = quantize.residues_wrapped(im, sft, scale_axis, num_moduli, backend)
     mods = tables.moduli(backend)[:num_moduli]
@@ -50,10 +50,10 @@ def _quantize_complex(x, sft, scale_axis, num_moduli, backend, conj):
     return jax.vmap(lambda r: fp8.split_planes(r, num_moduli))(lanes)
 
 
-def _shift_complex_fast(x, num_moduli, backend, reduce_axis):
+def _shift_complex_fast(re, im, num_moduli, backend, reduce_axis):
     """Shared shift from the lane-stacked array: amax = max(|re|,|im|) and
     norm^2 = sum(re^2 + im^2), exactly the reference's complex reduction."""
-    stacked = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=reduce_axis)
+    stacked = jnp.concatenate([re, im], axis=reduce_axis)
     return quantize.shift_fast(stacked, num_moduli, backend, reduce_axis)
 
 
@@ -77,12 +77,12 @@ def _recombine_3m(mids, num_moduli, backend):
     return jnp.stack(out_r), jnp.stack(out_i)
 
 
-def _shift_complex_accu(a, b, num_moduli, backend):
+def _shift_complex_accu(ar, ai, br, bi, num_moduli, backend):
     """Accurate mode: upper-bound extraction on |re|+|im| (a single int8 GEMM
     bounding all four lane products at once; conservative variant of the
     reference's three-GEMM estimate, scaling_accu_complex.hpp)."""
-    mag_a = jnp.abs(jnp.real(a)) + jnp.abs(jnp.imag(a))
-    mag_b = jnp.abs(jnp.real(b)) + jnp.abs(jnp.imag(b))
+    mag_a = jnp.abs(ar) + jnp.abs(ai)
+    mag_b = jnp.abs(br) + jnp.abs(bi)
     ub_a, pre_a = quantize.extract_ub_plane(mag_a, backend, scale_axis=0)
     ub_b, pre_b = quantize.extract_ub_plane(mag_b, backend, scale_axis=1)
     c_hi = quantize.estimate_gemm(ub_a, ub_b, backend)
@@ -93,23 +93,29 @@ def _shift_complex_accu(a, b, num_moduli, backend):
     return sft_a, sft_b
 
 
-def emulate_matmul_complex(a: jax.Array, b: jax.Array, *, num_moduli: int,
-                           fastmode: bool = True,
-                           backend: str = tables.Backend.INT8,
-                           conj_a: bool = False, conj_b: bool = False,
-                           epilogue: str = "auto") -> jax.Array:
-    """Pure traceable emulated op(A) @ op(B) for complex operands (no epilogue)."""
-    out_dtype = a.dtype
-    real_dt = _REAL_DTYPE[np.dtype(out_dtype)]
+def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
+                                  br: jax.Array, bi: jax.Array, *,
+                                  num_moduli: int, fastmode: bool = True,
+                                  backend: str = tables.Backend.INT8,
+                                  conj_a: bool = False, conj_b: bool = False,
+                                  epilogue: str = "auto"):
+    """Planar-complex emulated op(A) @ op(B): takes and returns separate
+    (real, imag) arrays, never materializing a complex dtype.
+
+    This IS the TPU-native complex path: the tested v5e PJRT stack does not
+    implement complex64/128 at all (UNIMPLEMENTED at transfer time), and the
+    3M residue pipeline is planar internally anyway. The complex-dtype
+    wrapper below delegates here (CPU and other platforms)."""
+    real_dt = ar.dtype
 
     if fastmode:
-        sft_a = _shift_complex_fast(a, num_moduli, backend, reduce_axis=1)
-        sft_b = _shift_complex_fast(b, num_moduli, backend, reduce_axis=0)
+        sft_a = _shift_complex_fast(ar, ai, num_moduli, backend, reduce_axis=1)
+        sft_b = _shift_complex_fast(br, bi, num_moduli, backend, reduce_axis=0)
     else:
-        sft_a, sft_b = _shift_complex_accu(a, b, num_moduli, backend)
+        sft_a, sft_b = _shift_complex_accu(ar, ai, br, bi, num_moduli, backend)
 
-    pa = _quantize_complex(a, sft_a, 0, num_moduli, backend, conj=conj_a)
-    pb = _quantize_complex(b, sft_b, 1, num_moduli, backend, conj=conj_b)
+    pa = _quantize_complex(ar, ai, sft_a, 0, num_moduli, backend, conj=conj_a)
+    pb = _quantize_complex(br, bi, sft_b, 1, num_moduli, backend, conj=conj_b)
     # one residue GEMM per lane product (Crr, Cii, Crii), vmapped so XLA fuses
     # all 3*nu (INT8) / 9*nu (FP8) MXU matmuls into one batched dot; K-chunking
     # inside residue_gemm keeps accumulation exact for any k.
@@ -120,6 +126,20 @@ def emulate_matmul_complex(a: jax.Array, b: jax.Array, *, num_moduli: int,
                                   real_dt, epilogue)
     ab_i = core.reconstruct_scale(mid_i, sft_a, sft_b, num_moduli, backend,
                                   real_dt, epilogue)
+    return ab_r, ab_i
+
+
+def emulate_matmul_complex(a: jax.Array, b: jax.Array, *, num_moduli: int,
+                           fastmode: bool = True,
+                           backend: str = tables.Backend.INT8,
+                           conj_a: bool = False, conj_b: bool = False,
+                           epilogue: str = "auto") -> jax.Array:
+    """Pure traceable emulated op(A) @ op(B) for complex operands (no epilogue)."""
+    out_dtype = a.dtype
+    ab_r, ab_i = emulate_matmul_complex_planar(
+        jnp.real(a), jnp.imag(a), jnp.real(b), jnp.imag(b),
+        num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+        conj_a=conj_a, conj_b=conj_b, epilogue=epilogue)
     return jax.lax.complex(ab_r, ab_i).astype(out_dtype)
 
 
@@ -172,3 +192,46 @@ def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
                       num_moduli=num_moduli, fastmode=fastmode, backend=backend,
                       op_a=op_a, op_b=op_b, has_c=has_c, epilogue=epilogue,
                       trivial_alpha=trivial_alpha)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "op_a", "op_b", "epilogue"))
+def _gemm_planar(ar, ai, br, bi, *, num_moduli, fastmode, backend,
+                 op_a, op_b, epilogue):
+    if op_a in ("T", "C"):
+        ar, ai = ar.T, ai.T
+    if op_b in ("T", "C"):
+        br, bi = br.T, bi.T
+    return emulate_matmul_complex_planar(
+        ar, ai, br, bi, num_moduli=num_moduli, fastmode=fastmode,
+        backend=backend, conj_a=(op_a == "C"), conj_b=(op_b == "C"),
+        epilogue=epilogue)
+
+
+def gemm_planar(ar: jax.Array, ai: jax.Array, br: jax.Array, bi: jax.Array,
+                *, num_moduli: int = 8, fastmode: bool = True,
+                backend: str = tables.Backend.INT8, trans_a="N", trans_b="N",
+                epilogue: str = "auto"):
+    """Emulated complex GEMM on PLANAR operands: (Ar, Ai) x (Br, Bi) ->
+    (Cr, Ci), with op in {N, T, C}. The device-native complex entry point for
+    accelerators whose runtimes lack complex dtypes (e.g. the v5e PJRT stack);
+    bit-identical to gemm() on complex arrays."""
+    def _norm_op(t):
+        if t is True:
+            return "T"
+        if t is False or t is None:
+            return "N"
+        t = str(t).upper()
+        if t not in ("N", "T", "C"):
+            raise ValueError(f"bad op {t!r}")
+        return t
+
+    name = {"float32": "complex64", "float64": "complex128"}[
+        np.dtype(ar.dtype).name]
+    lo, hi = tables.VALID_RANGE[name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}] for {name}")
+    return _gemm_planar(ar, ai, br, bi, num_moduli=num_moduli,
+                        fastmode=fastmode, backend=backend,
+                        op_a=_norm_op(trans_a), op_b=_norm_op(trans_b),
+                        epilogue=epilogue)

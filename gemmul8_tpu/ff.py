@@ -9,28 +9,29 @@ t = sum_i qPi * r_i is accumulated in a vector of int32 LIMBS (20 bits each)
 on a static power-of-two grid, using only int32 multiplies/shifts/adds, which
 are exact and bit-identical on every backend (CPU, TPU v5e VPU, ...).
 
-How it works (all structure is static at trace time):
-  * each qPi constant is decomposed host-side into 12-bit signed integer
-    pieces m * 2^g (from the exact ~96-bit qPi_f32x4 tables);
-  * a term m * r_i (|m| < 2^12, |r_i| <= 2^11 wrapped residue) is an exact
-    int32 product of <= 23 bits, split across two adjacent limbs by static
-    shifts; ~160 terms of <= 2^22 keep every limb below 2^30: no overflow;
-  * the wrap quotient rint(t * invP) is estimated from the top three limbs in
-    f32 (|quot| < 2^14, error margin ~2^-20 against the shift guarantee
-    |t| < P/2 * (1 - margin)), then P * quot is folded into the SAME limbs
-    with the same integer decomposition -- the high limbs cancel exactly;
-  * one carry-normalization pass brings every limb into [0, 2^20) (top limb
-    keeps the sign), after which each limb converts to f32/f64 exactly and
-    the output is assembled largest-first with the inverse power-of-two
-    scaling folded in per limb.
+Production path -- crt_limbs_matrix (all structure static at trace time):
+  * the CRT sum t = sum_i qPi * r_i is LINEAR in the residues, so the limb
+    accumulation is ONE small MXU matmul: each qPi -- recomputed as an EXACT
+    python integer at plan time, no table truncation -- is sliced into 8-bit
+    columns on a static grid; residue x column products (< 2^18) and their
+    nu-term column sums (< 2^23) are exact in f32 MXU accumulation;
+  * 8-bit column pairs merge into 16-bit int32 limbs; a balanced carry pass
+    normalizes them BEFORE the wrap quotient rint(t * invP) is estimated from
+    the top limbs in f32 (normalization first is essential: raw column sums
+    carry up to 2^-8 of a quotient unit in the truncated tail);
+  * P * quot folds into the same limbs exactly (16-bit pieces of P times
+    |quot| < 2^14 stay inside int32), a second carry pass renormalizes;
+  * each limb converts to f32/f64 exactly; the output assembles largest-first
+    with the inverse power-of-two scaling folded in per limb (rank-1 row/col
+    pow2 factors on accelerators; full-exponent-range f64 path on CPU).
 
-The only approximation anywhere is the ~96-bit truncation of the qPi tables
-themselves (absolute error ~P * 2^-84, far below both f64 resolution at matrix
-scale and the reference's double-double floor) plus the single final rounding
-into the output dtype. Everything else is exact integer arithmetic => results
-are bit-identical across platforms and trivially reproducible.
+The only approximations anywhere are the static sub-base cutoff (absolute
+error <= nu * 2^(base+11) ~ P * 2^-80, below the reference's double-double
+floor) and the final rounding into the output dtype. Everything else is exact
+integer arithmetic => bit-identical across platforms, trivially reproducible.
 
-Float helpers (two_sum / two_prod_const) are kept for tests and future use.
+crt_limbs (20-bit piece-wise variant) is kept as an independently-tested
+cross-check; two_sum / two_prod_const serve tests and future kernels.
 """
 from __future__ import annotations
 

@@ -96,3 +96,18 @@ def test_complex_reproducibility_and_accu():
                               fastmode=False))
     # accurate mode beats fast mode at equal num_moduli
     assert relerr(cacc, ref) < relerr(c1, ref) / 2
+
+
+def test_planar_matches_complex_bitwise():
+    """gemm_planar (the device-native complex entry for runtimes without
+    complex dtypes) must produce bit-identical results to gemm() on complex
+    arrays, for every op combination."""
+    rng = np.random.default_rng(17)
+    a = rng.standard_normal((24, 40)) + 1j * rng.standard_normal((24, 40))
+    b = rng.standard_normal((24, 18)) + 1j * rng.standard_normal((24, 18))
+    c = g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=10, trans_a="C")
+    cr, ci = g8.gemm_planar(jnp.asarray(a.real), jnp.asarray(a.imag),
+                            jnp.asarray(b.real), jnp.asarray(b.imag),
+                            num_moduli=10, trans_a="C")
+    np.testing.assert_array_equal(np.asarray(cr), np.real(np.asarray(c)))
+    np.testing.assert_array_equal(np.asarray(ci), np.imag(np.asarray(c)))
