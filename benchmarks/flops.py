@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--phases", action="store_true", help="also time the 4 phases")
+    ap.add_argument("--native-complex", action="store_true",
+                    help="attempt native complex matmuls on non-CPU backends")
     args = ap.parse_args()
 
     import jax
@@ -41,6 +43,7 @@ def main():
     np_dtype = {"f32": np.float32, "f64": np.float64,
                 "c64": np.complex64, "c128": np.complex128}[args.dtype]
     is_cplx = args.dtype.startswith("c")
+    rdt = jnp.float32 if args.dtype == "c64" else jnp.float64
     flop_factor = 8.0 if is_cplx else 2.0
 
     dev = jax.devices()[0].device_kind.replace(" ", "")
@@ -56,20 +59,41 @@ def main():
         if is_cplx:
             a = a + 1j * rng.standard_normal((m, k))
             b = b + 1j * rng.standard_normal((k, n))
-        aj = jnp.asarray(a.astype(np_dtype))
-        bj = jnp.asarray(b.astype(np_dtype))
-
-        t_nat = timed_loop(lambda x, y: x @ y, aj, bj, args.iters)
-        nat_tflops = flop_factor * m * n * k / t_nat / 1e12
-        rows.append([s, "native", "", t_nat, nat_tflops, "", "", "", ""])
-        print(f"{s}^3 native: {t_nat*1e3:.2f} ms = {nat_tflops:.2f} TFLOP/s",
-              file=sys.stderr)
+        # complex dtypes crash some TPU runtimes at TRANSFER time (and take
+        # the worker down with them, so probing is not safe either): only
+        # materialize complex device arrays on CPU or when forced
+        complex_ok = (jax.default_backend() == "cpu") or args.native_complex
+        if not is_cplx or complex_ok:
+            aj = jnp.asarray(a.astype(np_dtype))
+            bj = jnp.asarray(b.astype(np_dtype))
+            t_nat = timed_loop(lambda x, y: x @ y, aj, bj, args.iters)
+            nat_tflops = flop_factor * m * n * k / t_nat / 1e12
+            rows.append([s, "native", "", t_nat, nat_tflops, "", "", "", ""])
+            print(f"{s}^3 native: {t_nat*1e3:.2f} ms = {nat_tflops:.2f} TFLOP/s",
+                  file=sys.stderr)
+        else:
+            nat_tflops = float("nan")
+            rows.append([s, "native", "", "", "unsupported", "", "", "", ""])
+            print(f"{s}^3 native: complex dtypes UNSUPPORTED on this runtime",
+                  file=sys.stderr)
 
         for nu in [int(x) for x in args.nu.split(",")]:
-            emul = (functools.partial(complex_gemm.emulate_matmul_complex,
-                                      num_moduli=nu) if is_cplx else
-                    functools.partial(core.emulate_matmul, num_moduli=nu))
-            t = timed_loop(emul, aj, bj, args.iters)
+            if is_cplx:
+                # planar lanes: complex dtypes are unsupported on some TPU
+                # runtimes; wrap the planar core behind a 2-arg interface by
+                # stacking (re, im) on a leading axis
+                def emul(x, y, nu=nu):
+                    cr, ci = complex_gemm.emulate_matmul_complex_planar(
+                        x[0], x[1], y[0], y[1], num_moduli=nu)
+                    return cr + ci
+                aj2 = jnp.stack([jnp.asarray(np.real(a), rdt),
+                                 jnp.asarray(np.imag(a), rdt)])
+                bj2 = jnp.stack([jnp.asarray(np.real(b), rdt),
+                                 jnp.asarray(np.imag(b), rdt)])
+                t = timed_loop(emul, aj2, bj2, args.iters)
+            else:
+                emul = functools.partial(core.emulate_matmul, num_moduli=nu)
+                t = timed_loop(emul, aj, bj, args.iters)
             tflops = flop_factor * m * n * k / t / 1e12
             ph = ["", "", "", ""]
             if args.phases and not is_cplx and jax.default_backend() == "cpu":

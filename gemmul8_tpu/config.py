@@ -7,6 +7,7 @@ calls made after a change because config participates in jit static args):
   GEMMUL8_NUM_MOD_S / _D / _C / _Z : num_moduli per dtype (f32/f64/c64/c128)
   GEMMUL8_FASTMODE_S / _D / _C / _Z: 1 = fast (norm-based shifts), 0 = accurate
   GEMMUL8_BACKEND                  : INT8 (default) or FP8
+  GEMMUL8_EPILOGUE                 : auto (default) | ff | f64
 """
 from __future__ import annotations
 
@@ -27,6 +28,7 @@ class GemmConfig:
     num_moduli: int = 8
     fastmode: bool = True
     backend: str = tables.Backend.INT8
+    epilogue: str = "auto"
 
     def validate(self, dtype_name: str) -> bool:
         lo, hi = tables.VALID_RANGE[dtype_name]
@@ -48,6 +50,7 @@ def env_config(dtype_name: str) -> GemmConfig | None:
         num_moduli=nm,
         fastmode=os.environ.get(f"GEMMUL8_FASTMODE_{sfx}", "1") not in ("0", "false"),
         backend=os.environ.get("GEMMUL8_BACKEND", tables.Backend.INT8).upper(),
+        epilogue=os.environ.get("GEMMUL8_EPILOGUE", "auto").lower(),
     )
     if not cfg.validate(dtype_name):
         return None

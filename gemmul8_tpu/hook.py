@@ -61,12 +61,12 @@ def _emulated_2d(cfg: config.GemmConfig, is_complex: bool):
         def base(a, b):
             return complex_gemm.emulate_matmul_complex(
                 a, b, num_moduli=cfg.num_moduli, fastmode=cfg.fastmode,
-                backend=cfg.backend)
+                backend=cfg.backend, epilogue=cfg.epilogue)
     else:
         def base(a, b):
             return core.emulate_matmul(
                 a, b, num_moduli=cfg.num_moduli, fastmode=cfg.fastmode,
-                backend=cfg.backend)
+                backend=cfg.backend, epilogue=cfg.epilogue)
 
     @jax.custom_vjp
     def f(a, b):
