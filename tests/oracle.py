@@ -3,12 +3,63 @@
 Mirrors the role of the reference's double-double GPU oracle (testing/eval.hpp:
 194-445): an extended-precision matmul plus exact rational matmul for small sizes.
 """
+import ctypes
+import os
+import subprocess
+
 import numpy as np
 from fractions import Fraction
 
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "native")
+_dd_lib = None
+
+
+def _load_dd():
+    """Lazy-build/load the native double-double oracle (native/ddgemm.cpp,
+    the analog of the reference's GPU dd oracle testing/eval.hpp). Returns
+    None if no C++ toolchain is available."""
+    global _dd_lib
+    if _dd_lib is not None:
+        return _dd_lib if _dd_lib is not False else None
+    so = os.path.join(_NATIVE_DIR, "libddgemm.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(so)
+        lib.dd_gemm.argtypes = [ctypes.POINTER(ctypes.c_double)] * 4 \
+            + [ctypes.c_int64] * 3
+        _dd_lib = lib
+        return lib
+    except Exception:
+        _dd_lib = False
+        return None
+
+
+def matmul_dd(a: np.ndarray, b: np.ndarray):
+    """Double-double (~106-bit) oracle via the native library; returns
+    (hi, lo) with the product = hi + lo, or None if unavailable."""
+    lib = _load_dd()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    m, k = a.shape
+    n = b.shape[1]
+    hi = np.zeros((m, n))
+    lo = np.zeros((m, n))
+    pd = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    lib.dd_gemm(pd(a), pd(b), pd(hi), pd(lo), m, k, n)
+    return hi, lo
+
 
 def matmul_longdouble(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """80-bit extended precision oracle (64-bit mantissa): error ~2^-64 * k."""
+    """Extended-precision oracle: the native double-double GEMM (~106-bit)
+    when the toolchain is available, else x87 80-bit longdouble (~64-bit)."""
+    dd = matmul_dd(a, b)
+    if dd is not None:
+        return np.asarray(dd[0], np.longdouble) + np.asarray(dd[1], np.longdouble)
     return np.asarray(a, np.longdouble) @ np.asarray(b, np.longdouble)
 
 

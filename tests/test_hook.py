@@ -123,3 +123,19 @@ def test_precompute_skip_scal():
         got = g8.gemm_quantized(qa, qb, out_dtype=jnp.float64)
         want = g8.gemm(a, b, num_moduli=10)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_hook_batched_attention_shapes():
+    """Batched dot_generals (attention-style BHSD contractions) route through
+    the emulator: bit-identical reruns, einsum == matmul, plausible values."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 4, 8, 16)), jnp.float32)
+    with g8.emulate(num_moduli=8):
+        s1 = np.asarray(jnp.matmul(x, y))
+        s2 = np.asarray(jnp.matmul(x, y))
+        e = np.asarray(jnp.einsum("bhsd,bhdk->bhsk", x, y))
+    assert np.array_equal(s1, s2)
+    assert np.array_equal(s1, e)
+    ref = np.asarray(x) @ np.asarray(y)
+    assert np.max(np.abs(s1 - ref)) < 1e-4
