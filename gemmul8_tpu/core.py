@@ -405,10 +405,24 @@ def _gemm_q(pa, sa, pb, sb, *, num_moduli, backend, out_dtype, epilogue):
                              jnp.dtype(out_dtype), epilogue)
 
 
-def gemm_quantized(qa: QuantizedOperand, qb: QuantizedOperand,
-                   out_dtype=jnp.float64, epilogue: str = "auto") -> jax.Array:
-    """GEMM from two precomputed operands (both quantization phases skipped,
-    like skip_scalA && skip_scalB in the reference, gemmul8_real.hpp:123)."""
+def gemm_quantized(qa, qb, out_dtype=jnp.float64,
+                   epilogue: str = "auto") -> jax.Array:
+    """GEMM from precomputed operands; either side may instead be a raw
+    array, which is quantized on the fly (fast-mode shifts) -- the analog of
+    the reference's one-sided skip_scalA / skip_scalB reuse
+    (gemmul8_real.hpp:123-139, README.md:216-256).
+
+    qa: QuantizedOperand(side="A") or a raw (m, k) array.
+    qb: QuantizedOperand(side="B") or a raw (k, n) array.
+    """
+    if not isinstance(qa, QuantizedOperand) and not isinstance(qb, QuantizedOperand):
+        raise TypeError("at least one side must be a precomputed "
+                        "QuantizedOperand; use gemm() otherwise")
+    ref = qa if isinstance(qa, QuantizedOperand) else qb
+    if not isinstance(qa, QuantizedOperand):
+        qa = precompute(qa, "A", num_moduli=ref.num_moduli, backend=ref.backend)
+    if not isinstance(qb, QuantizedOperand):
+        qb = precompute(qb, "B", num_moduli=ref.num_moduli, backend=ref.backend)
     assert qa.side == "A" and qb.side == "B"
     assert qa.num_moduli == qb.num_moduli and qa.backend == qb.backend
     return _gemm_q(qa.planes, qa.sft, qb.planes, qb.sft,

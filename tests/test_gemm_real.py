@@ -110,3 +110,18 @@ def test_invalid_num_moduli_raises():
         g8.gemm(a, a, num_moduli=14)  # f32 caps at 13
     with pytest.raises(ValueError):
         g8.gemm(a.astype(jnp.float64), a.astype(jnp.float64), num_moduli=21)
+
+
+def test_one_sided_precompute():
+    """One-sided skip-scal: a precomputed A against raw B (and vice versa)
+    must match the fully-precomputed result bit-for-bit (reference analog:
+    skip_scalA XOR skip_scalB, gemmul8_real.hpp:123-139)."""
+    a = jnp.asarray(phi_matrix(RNG, 24, 100, 0.5))
+    b = jnp.asarray(phi_matrix(RNG, 100, 20, 0.5))
+    qa = g8.precompute(a, "A", num_moduli=9)
+    qb = g8.precompute(b, "B", num_moduli=9)
+    full = np.asarray(g8.gemm_quantized(qa, qb))
+    np.testing.assert_array_equal(np.asarray(g8.gemm_quantized(qa, b)), full)
+    np.testing.assert_array_equal(np.asarray(g8.gemm_quantized(a, qb)), full)
+    with pytest.raises(TypeError):
+        g8.gemm_quantized(a, b)
