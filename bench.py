@@ -84,8 +84,8 @@ def main():
     on_tpu = "TPU" in dev.device_kind or dev.platform in ("tpu", "axon")
 
     if on_tpu:
-        m = k = n = 4096
-        iters = 16
+        m = k = n = 8192
+        iters = 8
     else:  # CPU fallback (driver safety)
         m = k = n = 512
         iters = 2
