@@ -29,9 +29,6 @@ from . import quantize, tables
 # (|r| <= 128 -> product <= 2^14; 2^14 * 2^17 = 2^31)
 K_CHUNK = 1 << 17
 
-_REAL_OF = {jnp.dtype("float32"): jnp.float32, jnp.dtype("float64"): jnp.float64}
-
-
 def residue_matmul(a_planes: jax.Array, b_planes: jax.Array) -> jax.Array:
     """(nu, m, k) int8 @ (nu, k, n) int8 -> (nu, m, n) int32, exact.
     This is the MXU-native analog of the reference's cublasGemmEx INT8 loop
@@ -156,7 +153,7 @@ def resolve_epilogue(epilogue: str = "auto") -> str:
 
     "f64": double/double-double accumulation like the reference
     (inverse_scaling_real.hpp) -- requires true IEEE f64 (CPU).
-    "ff": f32-expansion arithmetic (ff.py) -- the TPU-native path; XLA's
+    "ff": exact int32 limb arithmetic (ff.py) -- the TPU-native path; XLA's
     X64 rewrite emulates f64 as an f32 pair whose ~48-bit products silently
     break the dd path's exactness on TPU. Same results on every platform.
     """
