@@ -139,3 +139,16 @@ def test_hook_batched_attention_shapes():
     assert np.array_equal(s1, e)
     ref = np.asarray(x) @ np.asarray(y)
     assert np.max(np.abs(s1 - ref)) < 1e-4
+
+
+def test_hook_integer_matmuls_stay_native():
+    """Integer dot_generals are not emulation candidates: they must pass
+    through untouched (and exactly) while the hook is installed."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.integers(-100, 100, (16, 32)), jnp.int8)
+    y = jnp.asarray(rng.integers(-100, 100, (32, 8)), jnp.int8)
+    ref = np.asarray(x, np.int32) @ np.asarray(y, np.int32)
+    with g8.emulate(num_moduli=8):
+        got = np.asarray(jax.lax.dot_general(
+            x, y, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32))
+    np.testing.assert_array_equal(got, ref)
