@@ -77,10 +77,11 @@ def _emulated_2d(cfg: config.GemmConfig, is_complex: bool):
 
     def bwd(res, g):
         a, b = res
-        # d(A@B): dA = g @ B^H, dB = A^H @ g -- emulated as well
-        bh = jnp.conj(b).T if is_complex else b.T
-        ah = jnp.conj(a).T if is_complex else a.T
-        return base(g, bh), base(ah, g)
+        # the LINEAR transpose (no conjugation): custom_vjp must mirror
+        # lax.dot_general's transpose rule -- JAX's autodiff handles the
+        # Wirtinger conjugations at the grad level, so conjugating here
+        # would double-apply it and corrupt complex gradients
+        return base(g, b.T), base(a.T, g)
 
     f.defvjp(fwd, bwd)
     return f

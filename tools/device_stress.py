@@ -80,7 +80,32 @@ def main():
               f"a={alpha} b={beta} phi={phi}: err={err:.2e} tol={tol:.2e}",
               file=sys.stderr)
         failures += not ok
-    print(f"{args.trials - failures}/{args.trials} passed")
+
+    # planar-complex trials (the device-native complex path)
+    for t in range(max(args.trials // 5, 3)):
+        nu = int(rng.integers(8, 17))
+        m, k, n = (int(rng.integers(8, 200)) for _ in range(3))
+        op_a = str(rng.choice(["N", "T", "C"]))
+        mk = (m, k) if op_a == "N" else (k, m)
+        ar, ai = rng.standard_normal(mk), rng.standard_normal(mk)
+        br, bi = rng.standard_normal((k, n)), rng.standard_normal((k, n))
+        cr, ci = g8.gemm_planar(jnp.asarray(ar), jnp.asarray(ai),
+                                jnp.asarray(br), jnp.asarray(bi),
+                                num_moduli=nu, trans_a=op_a)
+        az = ar + 1j * ai
+        az = az.T if op_a == "T" else (az.conj().T if op_a == "C" else az)
+        ref = az @ (br + 1j * bi)
+        scale = np.max(np.abs(ref)) + 1e-30
+        err = max(np.max(np.abs(np.asarray(cr) - ref.real)),
+                  np.max(np.abs(np.asarray(ci) - ref.imag))) / scale
+        tol = 2.0 ** (-(tables.log2P(nu, "INT8") - 8)) * 50 + 2.0 ** -46
+        ok = err < tol
+        print(f"[z{t:02d}] {'ok ' if ok else 'FAIL'} planar nu={nu:2d} "
+              f"({m},{k},{n}) {op_a}N: err={err:.2e} tol={tol:.2e}",
+              file=sys.stderr)
+        failures += not ok
+
+    print(f"stress passed" if not failures else f"{failures} FAILURES")
     sys.exit(1 if failures else 0)
 
 
