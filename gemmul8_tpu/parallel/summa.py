@@ -121,9 +121,12 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
     spec = P("x", "y")
     a = jax.device_put(a, NamedSharding(mesh, spec))
     b = jax.device_put(b, NamedSharding(mesh, spec))
+    # check_vma=False: the Pallas encode kernel's ShapeDtypeStruct outputs
+    # carry no varying-mesh-axes annotation, which the vma checker rejects
+    # inside shard_map; every output here varies over both axes anyway
     fn = jax.shard_map(
         functools.partial(_summa_local, num_moduli=num_moduli,
                           fastmode=fastmode, backend=backend,
                           epilogue=epilogue),
-        mesh=mesh, in_specs=(spec, spec), out_specs=spec)
+        mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False)
     return jax.jit(fn)(a, b)
