@@ -95,8 +95,11 @@ def _summa_local(a_blk, b_blk, num_moduli, fastmode, backend, epilogue):
     pa = quantize.encode_planes(a_blk, sft_a, 0, num_moduli, backend)
     pb = quantize.encode_planes(b_blk, sft_b, 1, num_moduli, backend)
     # int8 K-panel all-gathers (the cheap collectives; 8x fewer bytes than f64)
-    ag = jax.lax.all_gather(pa, "y", axis=2, tiled=True)   # (nu, m/X, k)
-    bg = jax.lax.all_gather(pb, "x", axis=1, tiled=True)   # (nu, k, n/Y)
+    # K-axis positions are backend-dependent: INT8 planes are (nu, m, k) /
+    # (nu, k, n); FP8 planes carry an extra slot axis (nu, 3, m, k) /
+    # (nu, 3, k, n) -- gather A along its last axis, B along the one before
+    ag = jax.lax.all_gather(pa, "y", axis=pa.ndim - 1, tiled=True)
+    bg = jax.lax.all_gather(pb, "x", axis=pb.ndim - 2, tiled=True)
     c_mid = core.residue_gemm(ag, bg, num_moduli, backend)
     return core.reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
                                   a_blk.dtype, epilogue)

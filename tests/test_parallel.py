@@ -90,3 +90,26 @@ def test_summa_collectives_are_int8():
         f"plane all-gathers must be int8, got: {gathers[:3]}"
     assert not any("f64[" in ln or "f32[" in ln for ln in gathers), \
         f"no float operand may be all-gathered: {gathers[:3]}"
+
+
+def test_summa_fp8_backend():
+    """FP8-backend SUMMA: the bf16 plane collectives gather the correct axis
+    (FP8 planes carry an extra slot dimension) and match single-device
+    quality."""
+    m, k, n = 64, 128, 64
+    a = jnp.asarray(phi_matrix(RNG, m, k, 0.5))
+    b = jnp.asarray(phi_matrix(RNG, k, n, 0.5))
+    ref = matmul_longdouble(a, b)
+    c = np.asarray(summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=8,
+                              backend="FP8"))
+    err, _ = max_median_relerr(c, ref)
+    c1, _ = max_median_relerr(
+        np.asarray(g8.gemm(a, b, num_moduli=8, backend="FP8")), ref)
+    assert err < c1 * 16 + 1e-30
+    # cross-mesh bit-identity holds for FP8 too
+    c2 = np.asarray(summa_gemm(a, b, mesh=mesh_of(1, 1), num_moduli=8,
+                               backend="FP8"))
+    c3 = np.asarray(summa_gemm(a, b, mesh=mesh_of(8, 1), num_moduli=8,
+                               backend="FP8"))
+    np.testing.assert_array_equal(c, c2)
+    np.testing.assert_array_equal(c, c3)
