@@ -136,8 +136,11 @@ def residue_gemm_fp8(a_planes: jax.Array, b_planes: jax.Array,
     K beyond K_CHUNK_FP8 is chunked; chunk partials are mod-reduced to int32
     residues and summed exactly in residue space (same scheme as the INT8
     path, lifting any K limit)."""
-    a3 = _gemm_stack(a_planes, num_moduli, "lhs")
-    b3 = _gemm_stack(b_planes, num_moduli, "rhs")
+    # canonical (nu, 3, r, c) planes are gathered into the batched-GEMM
+    # order; a 3-D input is ALREADY such a stack (the Pallas FP8 encoder
+    # emits it directly, skipping the canonical materialization)
+    a3 = a_planes if a_planes.ndim == 3 else _gemm_stack(a_planes, num_moduli, "lhs")
+    b3 = b_planes if b_planes.ndim == 3 else _gemm_stack(b_planes, num_moduli, "rhs")
     k = a3.shape[2]
     mods = tables.moduli(tables.Backend.FP8)[:num_moduli]
     if k <= K_CHUNK_FP8:

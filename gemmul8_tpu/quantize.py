@@ -308,7 +308,7 @@ def encode_planes(x: jax.Array, sft: jax.Array, scale_axis: int,
     FP8 backend: (num_moduli, 3, *x.shape) bfloat16 -- e4m3-exact split pairs/
     triples per modulus (reference: mod.hpp make_fp8x2/make_fp8x3); see fp8.py.
     """
-    if backend == tables.Backend.INT8 and jax.default_backend() not in ("cpu",):
+    if jax.default_backend() not in ("cpu",):
         from . import pallas_kernels as pk
         if pk.encode_supported(x, num_moduli, backend):
             comps = f32_components(x, _n_comp(x.dtype))
@@ -316,8 +316,13 @@ def encode_planes(x: jax.Array, sft: jax.Array, scale_axis: int,
             # (a third component exists only on true-f64 hosts, which take
             # the jnp path below)
             if len(comps) <= 2:
-                return pk.encode_planes_tiles(comps[0], c1, sft, scale_axis,
-                                              num_moduli, backend)
+                if backend == tables.Backend.INT8:
+                    return pk.encode_planes_tiles(comps[0], c1, sft,
+                                                  scale_axis, num_moduli,
+                                                  backend)
+                # FP8: emits the (3*nu) batched-GEMM stack for this side
+                return pk.encode_planes_fp8_tiles(comps[0], c1, sft,
+                                                  scale_axis, num_moduli)
     res = residues_wrapped(x, sft, scale_axis, num_moduli, backend)
     if backend == tables.Backend.INT8:
         return res.astype(jnp.int8)

@@ -59,3 +59,22 @@ def test_zero_and_edge_values():
                                             "INT8"))
     ref = _ref_2comp(xj, sft, 0, 10)
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("nu", [5, 9, 13])
+@pytest.mark.parametrize("scale_axis", [0, 1])
+def test_fp8_encode_kernel_bit_identical(nu, scale_axis):
+    """The FP8 Pallas encoder emits the (3*nu) batched-GEMM stack bit-
+    identically to fp8 split + stack of the jnp residues."""
+    from gemmul8_tpu import fp8
+    x = jnp.asarray(RNG.standard_normal((64, 256)))
+    sft = quantize.shift_fast(x, nu, "FP8", 1 - scale_axis)
+    with mock.patch.object(quantize, "_n_comp", lambda dt: 2):
+        res = quantize.residues_wrapped(x, sft, scale_axis, nu, "FP8")
+    side = "lhs" if scale_axis == 0 else "rhs"
+    ref = np.asarray(fp8._gemm_stack(fp8.split_planes(res, nu), nu, side),
+                     np.float32)
+    comps = quantize.f32_components(x, 2)
+    got = np.asarray(pk.encode_planes_fp8_tiles(comps[0], comps[1], sft,
+                                                scale_axis, nu), np.float32)
+    np.testing.assert_array_equal(got, ref)
