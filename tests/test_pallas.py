@@ -41,9 +41,9 @@ def test_encode_kernel_bit_identical(dtype, nu):
 def test_encode_supported_gate():
     x = jnp.zeros((64, 256), jnp.float32)
     assert pk.encode_supported(x, 8, "INT8")
+    assert pk.encode_supported(x, 8, "FP8")
     assert not pk.encode_supported(jnp.zeros((65, 256), jnp.float32), 8, "INT8")
     assert not pk.encode_supported(jnp.zeros((64, 250), jnp.float32), 8, "INT8")
-    assert not pk.encode_supported(x, 8, "FP8")
 
 
 def test_zero_and_edge_values():
