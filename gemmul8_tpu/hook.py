@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import contextlib
 import functools
+import os
+import weakref
 import threading
 from typing import Optional
 
@@ -107,9 +109,59 @@ def _canonicalize(lhs, rhs, dimension_numbers):
     return lhs3, rhs3, out_shape
 
 
+# ---------------------------------------------------------------------------
+# eager-mode operand-plane cache: the automatic analog of the reference
+# hook's pointer-identity skip-scal cache (hook.cu:87-107 Info_t). Keyed by
+# object identity + config; weakref.finalize evicts entries when the source
+# array dies, so a recycled id can never serve stale planes (the identity is
+# checked while the object is provably alive). jax.Arrays are immutable, so
+# identity implies content -- stronger than the reference's raw pointer
+# match. Scope: DIRECT eager lax.dot_general calls with fast-mode real
+# unbatched configs (jnp operators run under implicit jit and see tracers;
+# inside traced programs use g8.precompute for explicit reuse). Capped.
+# ---------------------------------------------------------------------------
+_plane_cache: dict = {}
+_CACHE_MAX = 8
+cache_hits = 0
+
+
+def _cached_operand(arr2d, side, cfg, owner):
+    global cache_hits
+    key = (id(owner), side, cfg.num_moduli, cfg.backend)
+    hit = _plane_cache.get(key)
+    if hit is not None:
+        cache_hits += 1
+        return hit
+    q = core.precompute(arr2d, side, num_moduli=cfg.num_moduli,
+                        backend=cfg.backend)
+    if len(_plane_cache) >= _CACHE_MAX:
+        _plane_cache.pop(next(iter(_plane_cache)))
+    _plane_cache[key] = q
+    try:
+        weakref.finalize(owner, _plane_cache.pop, key, None)
+    except TypeError:
+        _plane_cache.pop(key, None)   # not weakref-able: do not cache
+        return q
+    return q
+
+
+def clear_plane_cache() -> None:
+    """Drop all cached operand planes (the skip-scal cache)."""
+    _plane_cache.clear()
+
+
 def _emulated_dot_general(lhs, rhs, dimension_numbers, cfg: config.GemmConfig):
     lhs3, rhs3, out_shape = _canonicalize(lhs, rhs, dimension_numbers)
-    fn = _emulated_2d(cfg, bool(jnp.issubdtype(lhs.dtype, jnp.complexfloating)))
+    is_cplx = bool(jnp.issubdtype(lhs.dtype, jnp.complexfloating))
+    eager = not isinstance(lhs, jax.core.Tracer)         and not isinstance(rhs, jax.core.Tracer)
+    if (eager and cfg.fastmode and not is_cplx and lhs3.shape[0] == 1
+            and os.environ.get("GEMMUL8_EAGER_CACHE", "1") not in ("0", "false")):
+        qa = _cached_operand(lhs3[0], "A", cfg, lhs)
+        qb = _cached_operand(rhs3[0], "B", cfg, rhs)
+        out = core.gemm_quantized(qa, qb, out_dtype=lhs.dtype,
+                                  epilogue=cfg.epilogue)[None]
+        return out.reshape(out_shape)
+    fn = _emulated_2d(cfg, is_cplx)
     if lhs3.shape[0] == 1:
         out = fn(lhs3[0], rhs3[0])[None]
     else:

@@ -175,3 +175,36 @@ def test_hook_complex_gradients():
     gn = np.asarray(jax.grad(lambda b: jnp.sum(jnp.abs(a @ b) ** 2))(b))
     scale = np.max(np.abs(gn))
     assert np.max(np.abs(g1 - gn)) / scale < 1e-8
+
+
+def test_eager_plane_cache(monkeypatch):
+    """Eager-mode skip-scal cache (the reference hook's Info_t analog):
+    repeated DIRECT lax.dot_general calls with the same array objects reuse
+    quantized planes and stay bit-identical to the uncached path. (jnp
+    operators trace under implicit jit and never reach the eager path --
+    traced programs requantize inside the compiled executable instead; use
+    g8.precompute for explicit reuse there.)"""
+    from gemmul8_tpu import hook as hook_mod
+    dn = (((1,), (0,)), ((), ()))
+    rng = np.random.default_rng(12)
+    a = jnp.asarray(rng.standard_normal((24, 96)), jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((96, 16)), jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((96, 16)), jnp.float32)
+
+    monkeypatch.setenv("GEMMUL8_EAGER_CACHE", "0")
+    with g8.emulate(num_moduli=9):
+        ref1 = np.asarray(jax.lax.dot_general(a, b1, dn))
+        ref2 = np.asarray(jax.lax.dot_general(a, b2, dn))
+
+    monkeypatch.setenv("GEMMUL8_EAGER_CACHE", "1")
+    hook_mod.clear_plane_cache()
+    h0 = hook_mod.cache_hits
+    with g8.emulate(num_moduli=9):
+        c1 = np.asarray(jax.lax.dot_general(a, b1, dn))
+        c2 = np.asarray(jax.lax.dot_general(a, b2, dn))  # A planes reused
+        c1b = np.asarray(jax.lax.dot_general(a, b1, dn))  # both reused
+    assert hook_mod.cache_hits - h0 >= 3
+    np.testing.assert_array_equal(c1, ref1)
+    np.testing.assert_array_equal(c2, ref2)
+    np.testing.assert_array_equal(c1b, ref1)
+    hook_mod.clear_plane_cache()
