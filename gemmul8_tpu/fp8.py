@@ -26,8 +26,10 @@ TPU-native re-design of the reference FP8 path (reference: src/mod.hpp:106-189
     here all products form ONE batched ``lax.dot_general`` with batch 3*nu.
 
 Plane storage layout: ``(nu, 3, rows, cols)`` bf16 with canonical slots
-(x, y, z) -- z is bx+by for Karatsuba moduli and 0 (unused) for square moduli.
-The per-GEMM lhs/rhs stacks are gathered from the slot axis at trace time.
+(x, y, z) -- z is bx+by for Karatsuba moduli and 0 (unused) for square moduli;
+the per-GEMM lhs/rhs stacks are gathered from the slot axis at trace time.
+On TPU the fused Pallas encoder (pallas_kernels.encode_planes_fp8_tiles)
+emits the ``(3*nu, rows, cols)`` GEMM-ready stack directly instead.
 """
 from __future__ import annotations
 
