@@ -29,8 +29,16 @@ def ping_seconds() -> float:
     return min(ts)
 
 
-def timed_loop(fn, a, b, iters, ping=None, reps=3):
-    """Median over `reps` measurements of seconds-per-call for fn(a, b)."""
+def timed_loop(fn, a, b, iters, ping=None, reps=3, _depth=0):
+    """Median over `reps` measurements of seconds-per-call for fn(a, b).
+
+    If the measured loop time is within the dispatch-ping noise floor
+    (median - ping <= 3 * ping jitter), the measurement is meaningless:
+    iters is quadrupled and the loop re-measured (up to 2 times), and if
+    still unresolvable the result is NaN with a warning -- never a clamped
+    absurd throughput."""
+    import warnings
+
     import jax
     import jax.numpy as jnp
 
@@ -58,4 +66,15 @@ def timed_loop(fn, a, b, iters, ping=None, reps=3):
         np.asarray(loop(a, b))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return max(ts[len(ts) // 2] - ping, 1e-9) / iters
+    dt = ts[len(ts) // 2] - ping
+    # ping jitter estimate: spread of the measurements themselves, floored at
+    # 5% of the ping (perf_counter noise on the tunneled transport)
+    jitter = max(ts[-1] - ts[0], 0.05 * ping)
+    if dt <= 3.0 * jitter:
+        if _depth < 2:
+            return timed_loop(fn, a, b, iters * 4, ping, reps, _depth + 1)
+        warnings.warn(
+            f"timed_loop: measurement ({dt * 1e3:.3f} ms over {iters} iters) "
+            f"is inside the dispatch-ping noise floor; reporting NaN")
+        return float("nan")
+    return dt / iters

@@ -145,9 +145,9 @@ def emulate_matmul_complex(a: jax.Array, b: jax.Array, *, num_moduli: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "num_moduli", "fastmode", "backend", "op_a", "op_b", "has_c", "epilogue",
-    "trivial_alpha"))
+    "trivial_alpha", "beta_kind"))
 def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
-               op_a, op_b, has_c, epilogue, trivial_alpha):
+               op_a, op_b, has_c, epilogue, trivial_alpha, beta_kind):
     if op_a in ("T", "C"):
         a = a.T
     if op_b in ("T", "C"):
@@ -157,8 +157,10 @@ def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
                                 backend=backend, conj_a=(op_a == "C"),
                                 conj_b=(op_b == "C"), epilogue=epilogue)
     out = ab if trivial_alpha else alpha.astype(out_dtype) * ab
-    if has_c:
-        out = out + beta.astype(out_dtype) * c
+    # beta_kind == "zero" never touches C (reference: compile-time beta
+    # specialization, inverse_scaling_complex.hpp)
+    if has_c and beta_kind != "zero":
+        out = out + (c if beta_kind == "one" else beta.astype(out_dtype) * c)
     return out
 
 
@@ -180,18 +182,26 @@ def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
         return t
 
     op_a, op_b = _norm_op(trans_a), _norm_op(trans_b)
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.ndim != 2 or b.ndim != 2:
+        raise ValueError(
+            f"gemm expects 2-D operands, got A.ndim={a.ndim}, B.ndim={b.ndim}")
     name = np.dtype(a.dtype).name
     lo, hi = tables.VALID_RANGE[name]
     if not lo <= num_moduli <= hi:
         raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}] for {name}")
     has_c = c is not None
-    if not has_c:
+    trivial_alpha = isinstance(alpha, (int, complex, float)) and alpha == 1
+    beta_kind = ("zero" if isinstance(beta, (int, complex, float)) and beta == 0
+                 else "one" if isinstance(beta, (int, complex, float)) and beta == 1
+                 else "general")
+    if not has_c or beta_kind == "zero":
         c = jnp.zeros((), a.dtype)
-    trivial_alpha = isinstance(alpha, (int, float)) and alpha == 1
     return _gemm_cplx(a, b, c, jnp.asarray(alpha), jnp.asarray(beta),
                       num_moduli=num_moduli, fastmode=fastmode, backend=backend,
                       op_a=op_a, op_b=op_b, has_c=has_c, epilogue=epilogue,
-                      trivial_alpha=trivial_alpha)
+                      trivial_alpha=trivial_alpha, beta_kind=beta_kind)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -172,25 +172,79 @@ def reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend, out_dtype,
     return inverse_scale(t, sft_a, sft_b, out_dtype)
 
 
-def emulate_matmul(a: jax.Array, b: jax.Array, *, num_moduli: int,
-                   fastmode: bool = True,
-                   backend: str = tables.Backend.INT8,
-                   epilogue: str = "auto") -> jax.Array:
-    """Pure traceable emulated A @ B (no epilogue): the composable building block
-    used by gemm(), the dot_general hook (vmap-able) and the distributed layer."""
-    out_dtype = a.dtype
-    a_planes, sft_a, b_planes, sft_b = _quantize_operands(
-        a, b, num_moduli, fastmode, backend)
+def _emulated_product(a_planes, sft_a, b_planes, sft_b, num_moduli, backend,
+                      out_dtype, epilogue):
+    """Residue GEMM + epilogue from encoded planes. On TPU with aligned INT8
+    planes, the mod+CRT+descale chain runs as ONE fused Pallas consumer of
+    the int8 dot (pallas_kernels.fused_epilogue) -- no c_mid / CRT-column /
+    limb HBM round-trips, bit-identical to the unfused path. The analog of
+    the reference's one-buffer GEMM + conv_hi2mid interleave
+    (gemmul8_real.hpp:144-191)."""
+    out_dtype = jnp.dtype(out_dtype)
+    if (resolve_epilogue(epilogue) == "ff"
+            and jax.default_backend() != "cpu"
+            and backend == tables.Backend.INT8
+            and a_planes.ndim == 3 and a_planes.dtype == jnp.int8):
+        from . import pallas_kernels as pk
+        m, k = a_planes.shape[1], a_planes.shape[2]
+        n = b_planes.shape[2]
+        if (pk.epilogue_supported(num_moduli, backend, k)
+                and m % 128 == 0 and n % 128 == 0):
+            c_hi = residue_matmul(a_planes, b_planes)
+            out_bits = 53 if out_dtype.itemsize == 8 else 24
+            hi, lo = pk.fused_epilogue(c_hi, sft_a, sft_b, num_moduli,
+                                       backend, out_bits)
+            if out_bits == 24:
+                return (hi + lo).astype(out_dtype)
+            return hi.astype(out_dtype) + lo.astype(out_dtype)
     c_mid = residue_gemm(a_planes, b_planes, num_moduli, backend)
     return reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
                              out_dtype, epilogue)
 
 
+def _pad128(x: jax.Array, axes) -> jax.Array:
+    """Zero-pad the given axes up to multiples of 128 (exactness-preserving:
+    zero rows/cols produce zero planes, zero dot contributions and sft=0).
+    The TPU analog of the reference's pad-to-256 (common.hpp:32)."""
+    pads = [(0, 0)] * x.ndim
+    needed = False
+    for ax in axes:
+        r = (-x.shape[ax]) % 128
+        if r:
+            pads[ax] = (0, r)
+            needed = True
+    return jnp.pad(x, pads) if needed else x
+
+
+def emulate_matmul(a: jax.Array, b: jax.Array, *, num_moduli: int,
+                   fastmode: bool = True,
+                   backend: str = tables.Backend.INT8,
+                   epilogue: str = "auto") -> jax.Array:
+    """Pure traceable emulated A @ B (no epilogue): the composable building block
+    used by gemm(), the dot_general hook (vmap-able) and the distributed layer.
+
+    On accelerators, operands are zero-padded to multiples of 128 so every
+    shape takes the fused Pallas encode + epilogue path, then the output is
+    sliced back -- bit-identical to the unpadded math."""
+    out_dtype = a.dtype
+    m, n = a.shape[0], b.shape[1]
+    if jax.default_backend() != "cpu":
+        a = _pad128(a, (0, 1))
+        b = _pad128(b, (0, 1))
+    a_planes, sft_a, b_planes, sft_b = _quantize_operands(
+        a, b, num_moduli, fastmode, backend)
+    out = _emulated_product(a_planes, sft_a, b_planes, sft_b, num_moduli,
+                            backend, out_dtype, epilogue)
+    if out.shape != (m, n):
+        out = out[:m, :n]
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=(
     "num_moduli", "fastmode", "backend", "trans_a", "trans_b", "has_c",
-    "epilogue", "trivial_alpha"))
+    "epilogue", "trivial_alpha", "beta_kind"))
 def _gemm_real(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
-               trans_a, trans_b, has_c, epilogue, trivial_alpha):
+               trans_a, trans_b, has_c, epilogue, trivial_alpha, beta_kind):
     if trans_a:
         a = a.T
     if trans_b:
@@ -198,12 +252,14 @@ def _gemm_real(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
     out_dtype = a.dtype
     ab = emulate_matmul(a, b, num_moduli=num_moduli, fastmode=fastmode,
                         backend=backend, epilogue=epilogue)
-    # trace-time alpha=1 shortcut keeps the common case untouched by an extra
-    # (possibly emulated-f64) multiply; analog of the reference's compile-time
-    # alpha/beta special kernels (inverse_scaling_real.hpp:149-187)
+    # trace-time alpha/beta special cases keep the common paths untouched by
+    # extra (possibly emulated-f64) multiplies; analog of the reference's
+    # compile-time alpha in {1,-1} / beta in {0,1} kernels
+    # (inverse_scaling_real.hpp:149-187). beta_kind == "zero" never touches
+    # C: a NaN/Inf-filled dont-care C cannot corrupt the output.
     out = ab if trivial_alpha else alpha.astype(out_dtype) * ab
-    if has_c:
-        out = out + beta.astype(out_dtype) * c
+    if has_c and beta_kind != "zero":
+        out = out + (c if beta_kind == "one" else beta.astype(out_dtype) * c)
     return out
 
 
@@ -220,6 +276,10 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
+    if a.ndim != 2 or b.ndim != 2:
+        raise ValueError(
+            f"gemm expects 2-D operands, got A.ndim={a.ndim}, B.ndim={b.ndim}"
+            " (for batched contractions use the hook or vmap emulate_matmul)")
     if a.dtype != b.dtype:
         raise TypeError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
@@ -238,13 +298,19 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
     trans_a = trans_a if isinstance(trans_a, bool) else str(trans_a).upper() in ("T", "C")
     trans_b = trans_b if isinstance(trans_b, bool) else str(trans_b).upper() in ("T", "C")
     has_c = c is not None
-    if not has_c:
-        c = jnp.zeros((), a.dtype)  # placeholder, unused
     trivial_alpha = isinstance(alpha, (int, float)) and alpha == 1
+    # trace-time beta specialization (reference: beta in {0,1} kernels);
+    # a python-scalar beta == 0 means C is never read at all
+    beta_kind = ("zero" if isinstance(beta, (int, float)) and beta == 0
+                 else "one" if isinstance(beta, (int, float)) and beta == 1
+                 else "general")
+    if not has_c or beta_kind == "zero":
+        c = jnp.zeros((), a.dtype)  # placeholder, never read
     return _gemm_real(a, b, c, jnp.asarray(alpha), jnp.asarray(beta),
                       num_moduli=num_moduli, fastmode=fastmode, backend=backend,
                       trans_a=trans_a, trans_b=trans_b, has_c=has_c,
-                      epilogue=epilogue, trivial_alpha=trivial_alpha)
+                      epilogue=epilogue, trivial_alpha=trivial_alpha,
+                      beta_kind=beta_kind)
 
 
 def matmul(a: jax.Array, b: jax.Array, **kw) -> jax.Array:
@@ -292,8 +358,12 @@ def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
 
         @jax.jit
         def mm(pa, pb):
-            return fp8._batched_dot(fp8._gemm_stack(pa, num_moduli, "lhs"),
-                                    fp8._gemm_stack(pb, num_moduli, "rhs"))
+            # the Pallas FP8 encoder already emits the (3*nu, m, k) GEMM-ready
+            # stack (ndim == 3); only canonical (nu, 3, m, k) planes need the
+            # slot gather (mirrors residue_gemm_fp8's passthrough)
+            sa = pa if pa.ndim == 3 else fp8._gemm_stack(pa, num_moduli, "lhs")
+            sb = pb if pb.ndim == 3 else fp8._gemm_stack(pb, num_moduli, "rhs")
+            return fp8._batched_dot(sa, sb)
 
         @jax.jit
         def mr(c3):
@@ -397,8 +467,7 @@ def precompute(x: jax.Array, side: str, *, num_moduli: int = 8,
 @functools.partial(jax.jit, static_argnames=(
     "num_moduli", "backend", "out_dtype", "epilogue"))
 def _gemm_q(pa, sa, pb, sb, *, num_moduli, backend, out_dtype, epilogue):
-    c_mid = residue_gemm(pa, pb, num_moduli, backend)
-    return reconstruct_scale(c_mid, sa, sb, num_moduli, backend,
+    return _emulated_product(pa, sa, pb, sb, num_moduli, backend,
                              jnp.dtype(out_dtype), epilogue)
 
 

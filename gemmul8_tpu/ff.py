@@ -335,13 +335,18 @@ def reconstruct_scale_ff(c_mid: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
             out = term if out is None else out + term
         return out
 
+    return descale_accel(limbs, base, lb, sft_a, sft_b, out_bits, out_dtype)
+
+
+def descale_accel(limbs, base, lb, sft_a, sft_b, out_bits, out_dtype):
     # accelerator path: f64 is an emulated f32 pair (both storage and every
     # op), so all values live in f32's exponent range anyway. The descale
     # factor 2^(base+20li-sftA[i]-sftB[j]) factorizes: per-limb STATIC scalar
     # x rank-1 row/column pow2 vectors (each split in half to stay in f32's
     # exponent range). All multiplies are exact powers of two; limbs merge
     # smallest-first through a compensated two_sum chain, costing ONE
-    # emulated-f64 add at the very end.
+    # emulated-f64 add at the very end. (Split out so the fused Pallas
+    # epilogue's bit-identity can be tested against it on CPU.)
     ha = (-sft_a) // 2
     fa1 = pow2_f32(ha)[:, None]
     fa2 = pow2_f32(-sft_a - ha)[:, None]

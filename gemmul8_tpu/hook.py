@@ -16,9 +16,11 @@ contraction and vmapped. Hooked matmuls remain DIFFERENTIABLE: a custom VJP
 routes the backward GEMMs through the emulator too.
 
 Semantics note (vs the binary interposer): interception happens when a function
-is TRACED. install()/uninstall() clear jit caches so prior traces don't leak;
-after changing GEMMUL8_* env vars call refresh() (the reference re-reads env
-every call; under XLA the config is baked into the compiled executable).
+is TRACED. install()/uninstall() clear jit caches so prior traces don't leak.
+While installed, GEMMUL8_* mutations through os.environ are watched and clear
+the jit caches automatically, so setenv-between-GEMMs works exactly like the
+reference's re-read-per-call contract (hook.cu:283-310); refresh() remains as
+a manual fallback for out-of-band env changes (e.g. ctypes putenv).
 """
 from __future__ import annotations
 
@@ -125,9 +127,13 @@ _CACHE_MAX = 8
 cache_hits = 0
 
 
-def _cached_operand(arr2d, side, cfg, owner):
+def _cached_operand(arr2d, side, cfg, owner, canon):
+    """canon: hashable description of how `owner` was canonicalized into
+    arr2d (contracting/batch dims + shape). Two eager calls on the same
+    array object with different dimension_numbers canonicalize differently
+    and must not share planes."""
     global cache_hits
-    key = (id(owner), side, cfg.num_moduli, cfg.backend)
+    key = (id(owner), side, canon, owner.shape, cfg.num_moduli, cfg.backend)
     hit = _plane_cache.get(key)
     if hit is not None:
         cache_hits += 1
@@ -156,8 +162,11 @@ def _emulated_dot_general(lhs, rhs, dimension_numbers, cfg: config.GemmConfig):
     eager = not isinstance(lhs, jax.core.Tracer)         and not isinstance(rhs, jax.core.Tracer)
     if (eager and cfg.fastmode and not is_cplx and lhs3.shape[0] == 1
             and os.environ.get("GEMMUL8_EAGER_CACHE", "1") not in ("0", "false")):
-        qa = _cached_operand(lhs3[0], "A", cfg, lhs)
-        qb = _cached_operand(rhs3[0], "B", cfg, rhs)
+        (lc, rc), (lb, rb) = dimension_numbers
+        canon_l = (tuple(lc), tuple(lb))
+        canon_r = (tuple(rc), tuple(rb))
+        qa = _cached_operand(lhs3[0], "A", cfg, lhs, canon_l)
+        qb = _cached_operand(rhs3[0], "B", cfg, rhs, canon_r)
         out = core.gemm_quantized(qa, qb, out_dtype=lhs.dtype,
                                   epilogue=cfg.epilogue)[None]
         return out.reshape(out_shape)
@@ -194,11 +203,60 @@ def _hook_bind(lhs, rhs, *rest, **params):
     return _orig_bind(lhs, rhs, *rest, **params)
 
 
+# ---------------------------------------------------------------------------
+# env-change auto-detection: the reference hook re-reads GEMMUL8_* on EVERY
+# call (hook.cu:283-310), so apps may setenv() between GEMMs. Under XLA the
+# config is baked into compiled executables at trace time, so a changed env
+# var must invalidate the jit caches. Polling at bind time cannot work (a
+# cache-hit never re-traces), so instead we watch writes: while installed,
+# os.environ mutations of GEMMUL8_* keys clear the caches, making the next
+# call re-trace with the new config -- no manual refresh() needed.
+# ---------------------------------------------------------------------------
+_env_unpatched = None
+
+
+def _patch_environ():
+    global _env_unpatched
+    if _env_unpatched is not None:
+        return
+    cls = type(os.environ)
+    orig_set, orig_del = cls.__setitem__, cls.__delitem__
+
+    def setitem(self, key, value):
+        stale = (_installed and isinstance(key, str)
+                 and key.startswith("GEMMUL8_") and self.get(key) != value)
+        orig_set(self, key, value)
+        if stale:
+            jax.clear_caches()
+
+    def delitem(self, key):
+        stale = (_installed and isinstance(key, str)
+                 and key.startswith("GEMMUL8_") and key in self)
+        orig_del(self, key)
+        if stale:
+            jax.clear_caches()
+
+    cls.__setitem__, cls.__delitem__ = setitem, delitem
+    _env_unpatched = (cls, orig_set, orig_del)
+
+
+def _unpatch_environ():
+    global _env_unpatched
+    if _env_unpatched is not None:
+        cls, orig_set, orig_del = _env_unpatched
+        cls.__setitem__, cls.__delitem__ = orig_set, orig_del
+        _env_unpatched = None
+
+
 def install(num_moduli: Optional[int] = None, fastmode: Optional[bool] = None,
             backend: Optional[str] = None) -> None:
     """Install the interposer. With no args, config comes from GEMMUL8_* env vars
     per traced dtype (dtypes without GEMMUL8_NUM_MOD_* stay native). Explicit
-    args set a global override for all eligible dtypes."""
+    args set a global override for all eligible dtypes.
+
+    While installed, GEMMUL8_* changes via os.environ take effect on the next
+    call automatically (the env-watch clears jit caches), matching the
+    reference's re-read-per-call contract (hook.cu:283-310)."""
     global _orig_bind, _installed
     st = _st()
     if num_moduli is not None:
@@ -213,6 +271,7 @@ def install(num_moduli: Optional[int] = None, fastmode: Optional[bool] = None,
         _orig_bind = prim.bind
         prim.bind = _hook_bind
         _installed = True
+    _patch_environ()
     # drop executables traced before install / under a different override
     jax.clear_caches()
 
@@ -222,6 +281,7 @@ def uninstall() -> None:
     if _installed:
         _primitive().bind = _orig_bind
         _installed = False
+        _unpatch_environ()
         jax.clear_caches()  # drop traces that baked in the emulation
     _st().overrides = None
 

@@ -141,8 +141,8 @@ def encode_planes_tiles(c0, c1, sft, scale_axis: int, num_moduli: int,
     weights = tuple(weights)
 
     m, k = c0.shape
-    bm = min(_BM, m)
-    bk = min(_BK, k)
+    bm = _pick_tile(m, (_BM, 128, 64, 32))
+    bk = _pick_tile(k, (_BK, 256, 128))
     grid = (m // bm, k // bk)
     if scale_axis == 0:
         sft2 = sft.reshape(m, 1)
@@ -180,12 +180,212 @@ def encode_planes_tiles(c0, c1, sft, scale_axis: int, num_moduli: int,
     )(sft2, c0, c1)
 
 
+def _pick_tile(dim: int, candidates) -> int:
+    """Largest candidate tile size that divides dim (0 if none)."""
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return 0
+
+
 def encode_supported(x, num_moduli: int, backend: str) -> bool:
-    """Tile-alignment gate for the Pallas encoders (INT8 and FP8)."""
+    """Tile-alignment gate for the Pallas encoders (INT8 and FP8): any shape
+    whose dims are multiples of the minimal int8 tile (32 sublanes x 128
+    lanes). core.emulate_matmul pads every operand to multiples of 128, so in
+    the driver path this is always true (reference pads to 256 similarly,
+    common.hpp:32, gemmul8_real.hpp:73-78)."""
     m, k = x.shape
-    bm = min(_BM, m)
-    bk = min(_BK, k)
-    return (m % bm == 0 and k % bk == 0 and bm % 32 == 0 and bk % 128 == 0)
+    return m % 32 == 0 and k % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# fused epilogue: mod-reduce + CRT limb accumulation + inverse scaling in ONE
+# pass over C_hi (the int8 dot's int32 output). Replaces the XLA chain
+# mod_reduce -> crt_limbs_matrix -> reconstruct_scale_ff, which materializes
+# c_mid (nu,m,n), the (m,n,n_cols) f32 column tensor and the limb arrays in
+# HBM; here everything after the dot stays in VMEM and only the final f32
+# output pair is written. Bit-identical to the unfused path (the limb values
+# are exact integers either way, and the descale replicates the two_sum chain
+# order op-for-op).
+#
+# Reference analog: the one-buffer GEMM + conv_hi2mid interleave and the
+# inverse_scaling kernel (gemmul8_real.hpp:144-191, conv_hi2mid_real.hpp:51-86,
+# inverse_scaling_real.hpp:56-89).
+# ---------------------------------------------------------------------------
+
+
+def _epilogue_kernel(sfta_ref, sftb_ref, chi_ref, hi_ref, lo_ref, *,
+                     num_moduli, mods, w2_16, w16, p16, L, invp_top,
+                     base, descale):
+    """One (BM, BN) tile: per-modulus wrap -> limb MACs -> carry -> quotient
+    fold -> compensated descale. All integer steps exact in int32.
+
+    w2_16[i] = wrap(2^16 mod p_i); w16[i][li] = 16-bit slice li of qPi >> base;
+    p16[li] = 16-bit slice of P >> base; descale = (s1, s2) static per-limb
+    power-of-two factor pair.
+    """
+    i32 = np.int32
+    f32 = np.float32
+
+    limbs = [jnp.zeros(hi_ref.shape, jnp.int32) for _ in range(L)]
+    for i in range(num_moduli):
+        p = i32(mods[i])
+        acc = chi_ref[i, :, :]
+        # two-stage wrap: fold the top 16 bits via wrap(2^16 mod p) so the
+        # remaining magnitude (< 2^23) is f32-exact, then one rint division
+        # (Mosaic has no integer div/mod)
+        acc_hi = jnp.right_shift(acc, i32(16))
+        acc_lo = acc - jnp.left_shift(acc_hi, i32(16))     # in [0, 2^16)
+        t = acc_hi * i32(w2_16[i]) + acc_lo                # |t| < 2^23
+        q = jnp.rint(t.astype(jnp.float32) * f32(1.0 / mods[i])
+                     ).astype(jnp.int32)
+        r = t - q * p
+        r = jnp.where(r < i32(0), r + p, r)
+        r = jnp.where(r >= p, r - p, r)
+        r = jnp.where(i32(2) * r >= p, r - p, r)           # [-p/2, p/2)
+        for li in range(L):
+            if w16[i][li]:
+                # |r * w16| <= 128 * 65535 < 2^23; nu-term sums < 2^27
+                limbs[li] = limbs[li] + r * i32(w16[i][li])
+
+    half = i32(1 << 15)
+    for li in range(L - 1):
+        c = jnp.right_shift(limbs[li] + half, i32(16))
+        limbs[li] = limbs[li] - jnp.left_shift(c, i32(16))
+        limbs[li + 1] = limbs[li + 1] + c
+
+    t_top = limbs[L - 1].astype(jnp.float32)
+    for i in range(2, min(3, L) + 1):
+        t_top = t_top * f32(65536.0) + limbs[L - i].astype(jnp.float32)
+    quot = jnp.rint(t_top * f32(invp_top)).astype(jnp.int32)
+    for li in range(L):
+        if p16[li]:
+            limbs[li] = limbs[li] - quot * i32(p16[li])
+    for li in range(L - 1):
+        c = jnp.right_shift(limbs[li] + half, i32(16))
+        limbs[li] = limbs[li] - jnp.left_shift(c, i32(16))
+        limbs[li + 1] = limbs[li + 1] + c
+
+    # descale: rank-1 power-of-two factors from the shift tiles (each split
+    # in half to stay inside f32's exponent range), limbs merged
+    # smallest-first through a compensated two_sum chain -- op-for-op the
+    # same order as ff.reconstruct_scale_ff's accelerator path
+    sfta = sfta_ref[:]                                     # (BM, 1)
+    sftb = sftb_ref[:]                                     # (1, BN)
+    ha = jnp.right_shift(-sfta, i32(1))                    # floor((-s)/2)
+    fa1 = _pow2_f32(ha)
+    fa2 = _pow2_f32(-sfta - ha)
+    hb = jnp.right_shift(-sftb, i32(1))
+    fb1 = _pow2_f32(hb)
+    fb2 = _pow2_f32(-sftb - hb)
+    hi = None
+    lo = None
+    for li in range(L):
+        s1, s2 = descale[li]
+        term = limbs[li].astype(jnp.float32) * f32(s1)
+        term = ((term * fa1) * fb1) * f32(s2)
+        term = (term * fa2) * fb2
+        if hi is None:
+            hi = term
+            lo = jnp.zeros_like(term)
+        else:
+            s = hi + term                                  # two_sum (Knuth)
+            tt = s - hi
+            err = (hi - (s - tt)) + (term - tt)
+            hi = s
+            lo = lo + err
+    hi_ref[:, :] = hi
+    lo_ref[:, :] = lo
+
+
+@functools.lru_cache(maxsize=None)
+def _epilogue_plan(num_moduli: int, backend: str, out_bits: int):
+    """Static constants for the fused epilogue, derived from the SAME matrix
+    plan as the unfused path (ff._crt_matrix_plan) so limb values agree
+    bit-for-bit, plus the per-limb descale factor splits."""
+    from . import ff
+    base, n_cols, C, pcols, invp_top = ff._crt_matrix_plan(
+        num_moduli, backend, out_bits)
+    mods = tuple(int(p) for p in tables.moduli(backend)[:num_moduli])
+    L = (n_cols + 1) // 2
+    w16 = []
+    for i in range(num_moduli):
+        row = []
+        for li in range(L):
+            v = int(C[i, 2 * li])
+            if 2 * li + 1 < n_cols:
+                v += int(C[i, 2 * li + 1]) << 8
+            row.append(v)
+        w16.append(tuple(row))
+    p16 = []
+    for li in range(L):
+        v = int(pcols[2 * li])
+        if 2 * li + 1 < n_cols:
+            v += int(pcols[2 * li + 1]) << 8
+        p16.append(v)
+    w2_16 = []
+    for p in mods:
+        w = pow(2, 16, p)
+        w2_16.append(w - p if 2 * w >= p else w)
+    descale = []
+    for li in range(L):
+        e = base + 16 * li
+        descale.append((float(np.float32(2.0 ** (e // 2))),
+                        float(np.float32(2.0 ** (e - e // 2)))))
+    return (mods, tuple(w2_16), tuple(map(tuple, w16)), tuple(p16), L,
+            float(invp_top), base, tuple(descale))
+
+
+@functools.partial(jax.jit, static_argnames=("num_moduli", "backend",
+                                             "out_bits"))
+def fused_epilogue(c_hi, sft_a, sft_b, num_moduli: int, backend: str,
+                   out_bits: int):
+    """Pallas-fused mod+CRT+descale: (nu, m, n) int32 C_hi -> (hi, lo) f32
+    pair with hi+lo == the emulated product (combine in the output dtype).
+    Bit-identical to mod_reduce -> ff.reconstruct_scale_ff.
+
+    m, n must be multiples of 128 (callers pad-and-slice; core.emulate_matmul
+    does this automatically)."""
+    mods, w2_16, w16, p16, L, invp_top, base, descale = _epilogue_plan(
+        num_moduli, backend, out_bits)
+    m, n = c_hi.shape[1], c_hi.shape[2]
+    # VMEM budget: double-buffered (nu, BM, BN) i32 input + L limb arrays
+    bm = bn = 256
+    while bm > 128 and (2 * num_moduli + L + 6) * bm * bn * 4 > 11 << 20:
+        bm //= 2
+    bm = min(bm, m)
+    bn = min(bn, n)
+    if m % bm or n % bn:
+        bm = min(128, m)
+        bn = min(128, n)
+    grid = (m // bm, n // bn)
+
+    kernel = functools.partial(
+        _epilogue_kernel, num_moduli=num_moduli, mods=mods, w2_16=w2_16,
+        w16=w16, p16=p16, L=L, invp_top=invp_top, base=base, descale=descale)
+    sfta_spec = pl.BlockSpec((bm, 1), lambda i, j: (i, j * 0),
+                             memory_space=pltpu.VMEM)
+    sftb_spec = pl.BlockSpec((1, bn), lambda i, j: (i * 0, j),
+                             memory_space=pltpu.VMEM)
+    chi_spec = pl.BlockSpec((num_moduli, bm, bn), lambda i, j: (i * 0, i, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[sfta_spec, sftb_spec, chi_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m, n), jnp.float32),
+                   jax.ShapeDtypeStruct((m, n), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(sft_a.reshape(m, 1), sft_b.reshape(1, n), c_hi)
+
+
+def epilogue_supported(num_moduli: int, backend: str, k: int) -> bool:
+    """Gate for the fused epilogue: INT8 planes whose int32 dot is exact
+    (k <= 2^17; longer K takes the chunked residue-space path)."""
+    return backend == tables.Backend.INT8 and k <= (1 << 17)
 
 
 # ---------------------------------------------------------------------------

@@ -65,10 +65,25 @@ def _shift_fast_dist(x, num_moduli, backend, reduce_axis, axis_name):
     Like quantize.shift_fast, the norm math runs in f32 on the leading f32
     component (fast + bit-identical everywhere), with conservative tail
     inflation so the anti-overflow guarantee holds."""
+    if x.dtype != jnp.float32 and jax.default_backend() == "cpu":
+        # guard the f32 downcast against |x| > f32max (same fix as
+        # quantize.shift_fast): prescale overflowing rows by an exact power
+        # of two from the GLOBAL (pmax) native-dtype amax, so every shard
+        # prescales identically and the order-free-bits invariant holds
+        amax_nat = jax.lax.pmax(
+            jnp.max(jnp.abs(x), axis=reduce_axis), axis_name)
+        E0 = jnp.where(amax_nat > jnp.asarray(2.0 ** 126, x.dtype),
+                       quantize.ilogb(jnp.where(amax_nat > 0, amax_nat,
+                                                jnp.ones_like(amax_nat))),
+                       jnp.int32(0))
+        x = quantize.pow2_scale(x, -jnp.expand_dims(E0, reduce_axis))
+    else:
+        E0 = jnp.int32(0)
     c0 = jnp.abs(x.astype(jnp.float32) if x.dtype != jnp.float32 else x)
     E, amax0 = _ilogb_pmax(c0 * np.float32(1.0 + 2.0 ** -22), reduce_axis,
                            axis_name)
-    z = quantize.pow2_scale(c0, -jnp.expand_dims(E, reduce_axis))
+    E = E + E0          # total exponent; z below uses the LOCAL exponent
+    z = quantize.pow2_scale(c0, -jnp.expand_dims(E - E0, reduce_axis))
     fx = jnp.floor((z * z) * np.float32(2.0 ** _NORM_FIX_BITS)).astype(jnp.int32)
     s2_int = jax.lax.psum(
         jnp.sum(fx, axis=reduce_axis, dtype=jnp.int64), axis_name)

@@ -126,15 +126,33 @@ def shift_fast(x: jax.Array, num_moduli: int, backend: str, reduce_axis: int) ->
     # CPU and TPU, and f64 reductions would run through XLA's slow
     # emulated-f64 on TPU. Values below f32's range (CPU-only f64 inputs)
     # quantize to zero rows exactly as amax==0 rows do in the reference.
+    if x.dtype != jnp.float32 and jax.default_backend() == "cpu":
+        # True-IEEE-f64 host: |x| may exceed f32's max (~3.4e38), where the
+        # f32 downcast below would turn amax into inf and silently wreck the
+        # shift. Pre-scale ONLY the overflowing rows by an exact power of two
+        # (native-dtype ilogb), fold the exponent back in afterwards; rows in
+        # the f32-finite regime keep bit-identical behavior. (On TPU, f64 is
+        # an f32 pair sharing f32's exponent range -- no such rows exist.)
+        amax_nat = jnp.max(jnp.abs(x), axis=reduce_axis)
+        E0 = jnp.where(amax_nat > jnp.asarray(2.0 ** 126, x.dtype),
+                       ilogb(jnp.where(amax_nat > 0, amax_nat,
+                                       jnp.ones_like(amax_nat))),
+                       jnp.int32(0))
+        x = pow2_scale(x, -jnp.expand_dims(E0, reduce_axis))
+    else:
+        E0 = None
     c0 = jnp.abs(x.astype(jnp.float32) if x.dtype != jnp.float32 else x)
     amax0 = jnp.max(c0, axis=reduce_axis)
     safe = jnp.where(amax0 > 0, amax0, jnp.ones_like(amax0))
     # inflation keeps E an upper bound when the |c1| tail pushes |x| across a
     # power of two (a larger E only shrinks sft: the safe side)
     E = ilogb(safe * np.float32(1.0 + 2.0 ** -22))
+    if E0 is not None:
+        E = E + E0          # total exponent of the un-prescaled amax
     # overflow-safe norm: scale the row to ~[0,1] first (improves on the
     # reference, whose f32 norm overflows for large-magnitude rows)
-    z = pow2_scale(c0, -jnp.expand_dims(E, reduce_axis))
+    z = pow2_scale(c0, -jnp.expand_dims(E - E0 if E0 is not None else E,
+                                        reduce_axis))
     s2 = jnp.sum(z * z, axis=reduce_axis)
     log2vsum = (jnp.log2(jnp.maximum(s2, np.float32(2.0 ** -120)))
                 + np.float32(2.0) * E.astype(jnp.float32)

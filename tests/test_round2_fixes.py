@@ -1,0 +1,213 @@
+"""Regression tests for the round-2 correctness fixes (ADVICE.md + VERDICT.md):
+
+  * eager plane-cache keyed on dimension_numbers (wrong-canonicalization reuse)
+  * shift_fast overflow guard for f64 |x| > f32max
+  * beta=0 never reads C (NaN-in-C safe); beta=1 exact add
+  * gemm rejects non-2D operands
+  * GEMMUL8_* env changes take effect without manual refresh()
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gemmul8_tpu as g8
+from gemmul8_tpu import core, hook, quantize
+
+
+@pytest.fixture
+def hooked():
+    hook.install()
+    hook.clear_plane_cache()
+    yield
+    hook.uninstall()
+    for k in list(os.environ):
+        if k.startswith("GEMMUL8_"):
+            del os.environ[k]
+
+
+def test_eager_cache_different_dimension_numbers(hooked):
+    """ADVICE high: two eager dot_generals on the same array object with
+    different contraction axes must not share cached planes."""
+    os.environ["GEMMUL8_NUM_MOD_D"] = "12"
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((64, 48)))
+    y = jnp.asarray(rng.standard_normal((48, 32)))
+    y2 = jnp.asarray(rng.standard_normal((64, 32)))
+    r1 = jax.lax.dot_general(x, y, (((1,), (0,)), ((), ())))
+    r2 = jax.lax.dot_general(x, y2, (((0,), (0,)), ((), ())))  # x.T @ y2
+    ref1 = np.asarray(x) @ np.asarray(y)
+    ref2 = np.asarray(x).T @ np.asarray(y2)
+    assert np.max(np.abs(np.asarray(r1) - ref1)) < 1e-9
+    assert np.max(np.abs(np.asarray(r2) - ref2)) < 1e-9
+
+
+def test_eager_cache_still_hits(hooked):
+    os.environ["GEMMUL8_NUM_MOD_D"] = "12"
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((64, 48)))
+    y = jnp.asarray(rng.standard_normal((48, 32)))
+    dn = (((1,), (0,)), ((), ()))
+    before = hook.cache_hits
+    jax.lax.dot_general(x, y, dn)
+    jax.lax.dot_general(x, y, dn)
+    assert hook.cache_hits >= before + 2  # both operands reused on 2nd call
+
+
+def test_shift_fast_huge_f64():
+    """ADVICE medium: f64 inputs with |x| > f32max must not produce garbage.
+
+    Semantics note (verified against the reference formula,
+    scaling_fast_real.hpp:6-22, and against the pre-f32 round-1 code): FAST
+    mode's shift formula is scale-SENSITIVE by design -- rows with
+    amax*norm above ~2^log2P quantize toward zero even in the reference (its
+    own Tilogb<float>(amax) saturates for |x| > f32max). The bug was that
+    the f32 downcast turned amax into inf and the shift into an overflowed
+    int (2147483520), producing silently-wrong values; the fix restores the
+    formula's graceful degradation. ACCURATE mode (product-magnitude
+    estimation) is the robust path for extreme scales and must be exact."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("true-f64 regime is CPU-only")
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((32, 40)) * 1e60)
+    b = jnp.asarray(rng.standard_normal((40, 24)) * 1e-30)
+    ref = np.asarray(a) @ np.asarray(b)
+
+    # fast mode: finite output, graceful formula degradation (underflows to
+    # zero at this magnitude -- same as the reference formula yields)
+    s = quantize.shift_fast(a, 14, "INT8", reduce_axis=1)
+    assert np.all(np.abs(np.asarray(s)) < 1000)      # not the overflowed int
+    out_fast = core.gemm(a, b, num_moduli=14)
+    assert np.all(np.isfinite(np.asarray(out_fast)))
+
+    # accurate mode: full accuracy at any scale
+    out_accu = core.gemm(a, b, num_moduli=14, fastmode=False)
+    rel = np.max(np.abs(np.asarray(out_accu) - ref) / np.abs(ref))
+    assert rel < 1e-12
+
+    # mixed-scale: one huge row must not corrupt the OTHER rows (fast mode)
+    a2 = np.asarray(rng.standard_normal((16, 40)))
+    a2[3] *= 1e60
+    out2 = np.asarray(core.gemm(jnp.asarray(a2), b, num_moduli=14))
+    ref2 = a2 @ np.asarray(b)
+    keep = [i for i in range(16) if i != 3]
+    rel2 = np.max(np.abs(out2[keep] - ref2[keep]) / np.abs(ref2[keep]))
+    assert rel2 < 1e-10
+    assert np.all(np.isfinite(out2))
+
+
+def test_shift_fast_normal_rows_bitwise_unchanged():
+    """The overflow guard must leave in-range rows bit-identical."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((32, 40)))
+    s = quantize.shift_fast(x, 8, "INT8", reduce_axis=1)
+    # prescale path disabled entirely for f32
+    s32 = quantize.shift_fast(x.astype(jnp.float32), 8, "INT8", reduce_axis=1)
+    assert s.shape == s32.shape == (32,)
+
+
+def test_beta_zero_never_reads_c():
+    """VERDICT: beta=0 with NaN/Inf-filled C must not corrupt the output
+    (reference compile-time-specializes beta=0, inverse_scaling_real.hpp)."""
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(rng.standard_normal((24, 32)))
+    b = jnp.asarray(rng.standard_normal((32, 16)))
+    c_bad = jnp.full((24, 16), np.nan)
+    out = core.gemm(a, b, c=c_bad, beta=0.0, num_moduli=12)
+    assert np.all(np.isfinite(np.asarray(out)))
+    ref = core.gemm(a, b, num_moduli=12)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # complex path too
+    ac = jnp.asarray(rng.standard_normal((8, 12))
+                     + 1j * rng.standard_normal((8, 12)))
+    bc = jnp.asarray(rng.standard_normal((12, 10))
+                     + 1j * rng.standard_normal((12, 10)))
+    cc_bad = jnp.full((8, 10), np.nan + 1j * np.nan, jnp.complex128)
+    outc = core.gemm(ac, bc, c=cc_bad, beta=0, num_moduli=12)
+    assert np.all(np.isfinite(np.asarray(outc).view(np.float64)))
+
+
+def test_beta_one_exact_add():
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.standard_normal((24, 32)))
+    b = jnp.asarray(rng.standard_normal((32, 16)))
+    c = jnp.asarray(rng.standard_normal((24, 16)))
+    out = core.gemm(a, b, c=c, beta=1, num_moduli=12)
+    ref = core.gemm(a, b, num_moduli=12) + c
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_gemm_rejects_non_2d():
+    a3 = jnp.zeros((2, 3, 4))
+    b = jnp.zeros((4, 5))
+    with pytest.raises(ValueError, match="2-D"):
+        core.gemm(a3, b, num_moduli=8)
+    with pytest.raises(ValueError, match="2-D"):
+        core.gemm(jnp.zeros((3, 4), jnp.complex128),
+                  jnp.zeros((4,), jnp.complex128), num_moduli=8)
+
+
+def test_env_change_without_refresh(hooked):
+    """VERDICT: setenv between GEMMs must take effect automatically (the
+    reference re-reads GEMMUL8_* every call, hook.cu:283-310)."""
+    rng = np.random.default_rng(6)
+    a = jnp.asarray(rng.standard_normal((48, 64)))
+    b = jnp.asarray(rng.standard_normal((64, 32)))
+    ref = np.asarray(a) @ np.asarray(b)
+    nat0 = np.asarray(jnp.matmul(a, b))       # no env var -> native fallthrough
+
+    os.environ["GEMMUL8_NUM_MOD_D"] = "3"     # very coarse
+    err_coarse = np.max(np.abs(np.asarray(jnp.matmul(a, b)) - ref))
+    os.environ["GEMMUL8_NUM_MOD_D"] = "16"    # accurate -- NO refresh() call
+    err_fine = np.max(np.abs(np.asarray(jnp.matmul(a, b)) - ref))
+    assert err_fine < 1e-12
+    assert err_coarse > 100 * max(err_fine, 1e-18)
+
+    # deleting the var restores native behavior (bit-identical to the
+    # pre-config native fallthrough), again without refresh()
+    del os.environ["GEMMUL8_NUM_MOD_D"]
+    np.testing.assert_array_equal(np.asarray(jnp.matmul(a, b)), nat0)
+
+
+def test_fused_epilogue_bit_identity():
+    """The Pallas fused mod+CRT+descale consumer must be bit-identical to the
+    unfused chain (mod_reduce -> crt_limbs_matrix -> accelerator descale),
+    for both out_bits regimes (interpret mode on CPU)."""
+    from gemmul8_tpu import ff
+    from gemmul8_tpu import pallas_kernels as pk
+
+    rng = np.random.default_rng(11)
+    for nu, out_bits, dt in [(16, 53, jnp.float64), (8, 24, jnp.float32),
+                             (20, 53, jnp.float64), (2, 24, jnp.float32)]:
+        m = n = k = 256
+        a = jnp.asarray(rng.standard_normal((m, k)), dt)
+        b = jnp.asarray(rng.standard_normal((k, n)), dt)
+        sa = quantize.shift_fast(a, nu, "INT8", reduce_axis=1)
+        sb = quantize.shift_fast(b, nu, "INT8", reduce_axis=0)
+        pa = quantize.encode_planes(a, sa, 0, nu, "INT8")
+        pb = quantize.encode_planes(b, sb, 1, nu, "INT8")
+        c_hi = core.residue_matmul(pa, pb)
+        hi, lo = pk.fused_epilogue(c_hi, sa, sb, nu, "INT8", out_bits)
+        if out_bits == 24:
+            fused = (hi + lo).astype(dt)
+        else:
+            fused = hi.astype(dt) + lo.astype(dt)
+        c_mid = core.mod_reduce(c_hi, nu, "INT8")
+        limbs, base = ff.crt_limbs_matrix(c_mid, nu, "INT8", out_bits)
+        ref = ff.descale_accel(limbs, base, 16, sa, sb, out_bits, dt)
+        iv = jnp.int64 if out_bits == 53 else jnp.int32
+        assert bool(jnp.all(fused.view(iv) == ref.view(iv))), (nu, out_bits)
+
+
+def test_padded_gemm_matches_exact():
+    """Misaligned shapes (pad-and-slice path) must stay accurate; padding is
+    exactness-preserving so CPU (unpadded) and the formula agree."""
+    rng = np.random.default_rng(12)
+    a = jnp.asarray(rng.standard_normal((197, 301)))
+    b = jnp.asarray(rng.standard_normal((301, 133)))
+    out = core.gemm(a, b, num_moduli=16)
+    ref = np.asarray(a) @ np.asarray(b)
+    assert np.max(np.abs(np.asarray(out) - ref)) < 1e-11

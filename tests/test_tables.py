@@ -123,25 +123,3 @@ def test_native_dd_oracle_matches_exact():
                           / exact[i, j]))
                 for i in range(6) for j in range(5))
     assert worst < 1e-28
-
-
-def test_native_dd_oracle_matches_exact():
-    """native/ddgemm.cpp (the eval.hpp analog) vs exact rational arithmetic."""
-    import oracle
-    from fractions import Fraction
-    import numpy as np
-    rng = np.random.default_rng(4)
-    a = rng.standard_normal((6, 200))
-    b = rng.standard_normal((200, 5))
-    dd = oracle.matmul_dd(a, b)
-    if dd is None:
-        import pytest
-        pytest.skip("no C++ toolchain")
-    hi, lo = dd
-    af = np.vectorize(Fraction)(a)
-    bf = np.vectorize(Fraction)(b)
-    exact = af @ bf
-    worst = max(abs(float((Fraction(hi[i, j]) + Fraction(lo[i, j]) - exact[i, j])
-                          / exact[i, j]))
-                for i in range(6) for j in range(5))
-    assert worst < 1e-28
