@@ -1,1 +1,1 @@
-from .summa import summa_gemm, make_mesh  # noqa: F401
+from .summa import summa_gemm, make_mesh, summa_work_bytes  # noqa: F401

@@ -85,10 +85,22 @@ def _shift_fast_dist(x, num_moduli, backend, reduce_axis, axis_name):
     E = E + E0          # total exponent; z below uses the LOCAL exponent
     z = quantize.pow2_scale(c0, -jnp.expand_dims(E - E0, reduce_axis))
     fx = jnp.floor((z * z) * np.float32(2.0 ** _NORM_FIX_BITS)).astype(jnp.int32)
-    s2_int = jax.lax.psum(
-        jnp.sum(fx, axis=reduce_axis, dtype=jnp.int64), axis_name)
+    # Exact order-free accumulation WITHOUT int64 (unavailable when x64 is
+    # off -- the usual TPU config, where jnp.sum(dtype=int64) silently
+    # truncates to int32 and overflows): split each 31-bit sample into three
+    # 13-bit pieces, sum/psum each piece in int32 (exact for global k up to
+    # 2^18), and recombine in f32 -- identical arithmetic on every mesh
+    # shape, so the bit-identity invariant holds.
+    pieces = []
+    for shift in (0, 13, 26):
+        p = jnp.right_shift(fx, jnp.int32(shift)) & jnp.int32(0x1FFF)
+        pieces.append(jax.lax.psum(
+            jnp.sum(p, axis=reduce_axis, dtype=jnp.int32), axis_name))
     # +1 makes it a (tiny) upper bias and guards log2(0)
-    s2 = (s2_int + 1).astype(jnp.float32)
+    s2 = (pieces[0].astype(jnp.float32)
+          + pieces[1].astype(jnp.float32) * np.float32(2.0 ** 13)
+          + pieces[2].astype(jnp.float32) * np.float32(2.0 ** 26)
+          + np.float32(1.0))
     log2vsum = (jnp.log2(s2) - np.float32(_NORM_FIX_BITS)
                 + np.float32(2.0) * E.astype(jnp.float32)
                 + np.float32(2.0 ** -18))   # tail inflation
@@ -100,13 +112,60 @@ def _shift_fast_dist(x, num_moduli, backend, reduce_axis, axis_name):
     return jnp.where(amax0 > 0, sft, jnp.int32(0))
 
 
+def _extract_ub_dist(x, backend, scale_axis, axis_name):
+    """Distributed analog of quantize.extract_ub_plane: the amax reduction
+    spans the sharded axis via pmax (order-free), everything else is
+    elementwise -- bit-identical to the single-device extraction for any
+    sharding. (reference: scaling_accu_real.hpp:23-136)"""
+    reduce_axis = 1 - scale_axis
+    ax = jnp.abs(x)
+    amax = jax.lax.pmax(jnp.max(ax, axis=reduce_axis), axis_name)
+    E = quantize.ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
+    sft_pre = np.int32(quantize.MAX_UFP[backend]) - E
+    y = quantize.pow2_scale(ax, jnp.expand_dims(sft_pre, reduce_axis))
+    c1 = y.astype(jnp.float32)
+    tail = (y - c1.astype(y.dtype)) if y.dtype != jnp.float32 \
+        else jnp.zeros_like(c1)
+    ub = jnp.ceil(c1) + (tail.astype(jnp.float32) > 0)
+    ub = jnp.where(ax > 0, jnp.maximum(ub, 1.0), 0.0)
+    if backend == tables.Backend.INT8:
+        return ub.astype(jnp.int8), sft_pre
+    return ub.astype(jnp.bfloat16), sft_pre
+
+
+def _shift_accu_dist(a_blk, b_blk, num_moduli, backend):
+    """Distributed ACCURATE-mode shifts (VERDICT item 3): the two-phase
+    product-magnitude estimation with the extract GEMM sharded over the same
+    mesh. The estimation operands are single int8 planes (1/nu of the
+    residue-plane bytes), gathered with the same cheap int8 collectives; the
+    row/col maxima of the estimate are pmax-reduced (order-free), so the
+    resulting shifts -- and every residue plane -- are bit-identical on any
+    mesh shape. (reference: scaling_accu_real.hpp:380-457)"""
+    ub_a, pre_a = _extract_ub_dist(a_blk, backend, 0, "y")
+    ub_b, pre_b = _extract_ub_dist(b_blk, backend, 1, "x")
+    ag = jax.lax.all_gather(ub_a, "y", axis=1, tiled=True)
+    bg = jax.lax.all_gather(ub_b, "x", axis=0, tiled=True)
+    c_hi = quantize.estimate_gemm(ag, bg, backend)
+    row_max = jax.lax.pmax(jnp.max(c_hi, axis=1), "y")
+    col_max = jax.lax.pmax(jnp.max(c_hi, axis=0), "x")
+    sft_a = quantize.shift_accu_from_chi(row_max, pre_a, num_moduli, backend)
+    sft_b = quantize.shift_accu_from_chi(col_max, pre_b, num_moduli, backend)
+    return sft_a, sft_b
+
+
+def _dist_shifts(a_blk, b_blk, num_moduli, fastmode, backend):
+    if fastmode:
+        sft_a = _shift_fast_dist(a_blk, num_moduli, backend, 1, "y")
+        sft_b = _shift_fast_dist(b_blk, num_moduli, backend, 0, "x")
+        return sft_a, sft_b
+    return _shift_accu_dist(a_blk, b_blk, num_moduli, backend)
+
+
 def _summa_local(a_blk, b_blk, num_moduli, fastmode, backend, epilogue):
     """shard_map body: local quantize -> int8 plane all-gathers -> local exact
     residue GEMM -> local CRT + inverse scaling."""
-    del fastmode  # distributed path currently uses (distributed) fast shifts
     # A rows live on this device; norms span the k axis sharded over "y"
-    sft_a = _shift_fast_dist(a_blk, num_moduli, backend, 1, "y")
-    sft_b = _shift_fast_dist(b_blk, num_moduli, backend, 0, "x")
+    sft_a, sft_b = _dist_shifts(a_blk, b_blk, num_moduli, fastmode, backend)
     pa = quantize.encode_planes(a_blk, sft_a, 0, num_moduli, backend)
     pb = quantize.encode_planes(b_blk, sft_b, 1, num_moduli, backend)
     # int8 K-panel all-gathers (the cheap collectives; 8x fewer bytes than f64)
@@ -120,31 +179,152 @@ def _summa_local(a_blk, b_blk, num_moduli, fastmode, backend, epilogue):
                                   a_blk.dtype, epilogue)
 
 
+def _bcast_panel(planes, axis_name, owner, off, sizes, slice_axis):
+    """Deliver one k-panel to every member of a mesh-axis team: the owner
+    extracts its local window, everyone else contributes zeros, and a masked
+    integer psum broadcasts it (order-free; a single nonzero contributor so
+    no overflow). SPMD-uniform: the dynamic_slice start is clamped to 0 on
+    non-owners."""
+    me = jax.lax.axis_index(axis_name)
+    is_owner = (me == owner)
+    starts = [jnp.int32(0)] * planes.ndim
+    starts[slice_axis] = jnp.where(is_owner, off, 0).astype(jnp.int32)
+    window = jax.lax.dynamic_slice(planes, starts, sizes)
+    window = jnp.where(is_owner, window, jnp.zeros_like(window))
+    return jax.lax.psum(window, axis_name)
+
+
+def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
+                        epilogue, k_panel, k, x_size, y_size):
+    """shard_map body for the K-panel-STREAMING SUMMA (VERDICT item 2): no
+    full-K gather is ever materialized. Per step t, the int8 residue planes
+    of k-panel t are broadcast to the row team (A, along "y") and column
+    team (B, along "x"); the panel's exact int32 dot is wrapped per modulus
+    and accumulated in residue space (order-free => bit-identical to the
+    gather path and to every mesh shape). Per-device peak memory is
+    O(nu * m_loc * k_panel) for the in-flight panels -- the analog of the
+    reference's bounded-workspace N-blocking (matmult.hpp:68-75) at
+    distributed scale. The next panel's broadcast is issued before the
+    current dot so XLA can overlap collectives with MXU work."""
+    sft_a, sft_b = _dist_shifts(a_blk, b_blk, num_moduli, fastmode, backend)
+    pa = quantize.encode_planes(a_blk, sft_a, 0, num_moduli, backend)
+    pb = quantize.encode_planes(b_blk, sft_b, 1, num_moduli, backend)
+    m_loc = pa.shape[1]
+    n_loc = pb.shape[2]
+    k_y = k // y_size                      # local A panel width
+    k_x = k // x_size                      # local B panel height
+    w = k_panel
+    steps = k // w
+    mods = jnp.asarray(tables.moduli(backend)[:num_moduli],
+                       jnp.int32).reshape(num_moduli, 1, 1)
+
+    def bcast(t):
+        a_pan = _bcast_panel(pa, "y", (t * w) // k_y,
+                             t * w - ((t * w) // k_y) * k_y,
+                             (num_moduli, m_loc, w), 2)
+        b_pan = _bcast_panel(pb, "x", (t * w) // k_x,
+                             t * w - ((t * w) // k_x) * k_x,
+                             (num_moduli, w, n_loc), 1)
+        return a_pan, b_pan
+
+    def body(t, carry):
+        acc, ap, bp = carry
+        # prefetch the next panel first: independent of this step's dot, so
+        # the compiler is free to overlap the collectives with the MXU work
+        nxt = bcast(jnp.minimum(t + 1, steps - 1))
+        part = core.residue_matmul(ap, bp)          # exact: w <= 2^17
+        acc = acc + part % mods                     # residues add mod p
+        return (acc, *nxt)
+
+    a0, b0 = bcast(jnp.int32(0))
+    acc0 = jnp.zeros((num_moduli, m_loc, n_loc), jnp.int32)
+    acc, _, _ = jax.lax.fori_loop(0, steps, body, (acc0, a0, b0))
+    r = acc % mods                                  # steps*p/2 < 2^31 always
+    c_mid = jnp.where(2 * r >= mods, r - mods, r).astype(jnp.int8)
+    return core.reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
+                                  a_blk.dtype, epilogue)
+
+
 def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
                num_moduli: int = 8, fastmode: bool = True,
                backend: str = tables.Backend.INT8,
-               epilogue: str = "auto") -> jax.Array:
+               epilogue: str = "auto", k_panel: int | None = None) -> jax.Array:
     """Distributed emulated GEMM: C = A @ B over a 2D mesh.
 
     a: (m, k), b: (k, n); m, k divisible by mesh.x and k, n by mesh.y.
     Returns C (m, n) sharded P("x", "y"). Bit-identical results for any mesh
     shape (including 1x1) thanks to order-free shift/reduction design.
+
+    fastmode=False runs the distributed two-phase accurate-mode estimation
+    (the extract GEMM sharded over the same mesh).
+
+    k_panel selects the K-panel-STREAMING algorithm with per-device panel
+    memory O(nu * m_loc * k_panel) instead of the full-K gather -- required
+    for huge problems (e.g. 65536^3) whose gathered planes exceed HBM.
+    k_panel must divide k/mesh.x and k/mesh.y and be <= 2^17.
     """
     if mesh is None:
         mesh = make_mesh()
     lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
     if not lo <= num_moduli <= hi:
         raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}]")
+    if fastmode and a.shape[1] > (1 << 18):
+        raise ValueError(
+            "fast-mode distributed shifts support k <= 2^18 (exact int32 "
+            "norm pieces); use fastmode=False for larger k")
 
     spec = P("x", "y")
     a = jax.device_put(a, NamedSharding(mesh, spec))
     b = jax.device_put(b, NamedSharding(mesh, spec))
+    x_size, y_size = mesh.devices.shape
+    k = a.shape[1]
+    if k_panel is not None:
+        if backend != tables.Backend.INT8:
+            raise NotImplementedError(
+                "k_panel streaming currently supports the INT8 backend")
+        if k % k_panel or (k // x_size) % k_panel or (k // y_size) % k_panel:
+            raise ValueError(
+                f"k_panel={k_panel} must divide k/mesh.x={k // x_size} "
+                f"and k/mesh.y={k // y_size}")
+        if k_panel > (1 << 17):
+            raise ValueError("k_panel must be <= 2^17 (int32 exactness)")
+        body = functools.partial(
+            _summa_stream_local, num_moduli=num_moduli, fastmode=fastmode,
+            backend=backend, epilogue=epilogue, k_panel=k_panel, k=k,
+            x_size=x_size, y_size=y_size)
+    else:
+        body = functools.partial(_summa_local, num_moduli=num_moduli,
+                                 fastmode=fastmode, backend=backend,
+                                 epilogue=epilogue)
     # check_vma=False: the Pallas encode kernel's ShapeDtypeStruct outputs
     # carry no varying-mesh-axes annotation, which the vma checker rejects
     # inside shard_map; every output here varies over both axes anyway
-    fn = jax.shard_map(
-        functools.partial(_summa_local, num_moduli=num_moduli,
-                          fastmode=fastmode, backend=backend,
-                          epilogue=epilogue),
-        mesh=mesh, in_specs=(spec, spec), out_specs=spec, check_vma=False)
+    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                       out_specs=spec, check_vma=False)
     return jax.jit(fn)(a, b)
+
+
+def summa_work_bytes(m: int, n: int, k: int, mesh_shape: tuple[int, int],
+                     num_moduli: int, dtype=jnp.float64,
+                     k_panel: int | None = None) -> int:
+    """Per-device peak memory model (bytes) for summa_gemm: inputs + residue
+    planes + (gathered K panels | 2 streamed panels) + residue accumulator +
+    epilogue buffers + output. The planning analog of gemmul8::workSize for
+    the distributed layer; with k_panel it proves the 65536^3 (config 5)
+    footprint fits a pod-slice HBM."""
+    X, Y = mesh_shape
+    it = jnp.dtype(dtype).itemsize
+    m_l, n_l, k_y, k_x = m // X, n // Y, k // Y, k // X
+    nu = num_moduli
+    inputs = (m_l * k_y + k_x * n_l) * it
+    planes = nu * (m_l * k_y + k_x * n_l)
+    if k_panel is None:
+        panels = nu * (m_l * k + k * n_l)             # full-K gathers
+        acc = 0                                        # dot -> c_mid directly
+    else:
+        panels = 2 * nu * k_panel * (m_l + n_l)        # double-buffered
+        acc = 4 * nu * m_l * n_l                       # int32 residue acc
+    c_mid = nu * m_l * n_l
+    epilogue = 2 * 4 * m_l * n_l                       # fused hi/lo f32 pair
+    out = m_l * n_l * it
+    return inputs + planes + panels + acc + c_mid + epilogue + out

