@@ -77,19 +77,58 @@ def _recombine_3m(mids, num_moduli, backend):
     return jnp.stack(out_r), jnp.stack(out_i)
 
 
+def _extract_ub_lanes(re, im, scale_axis, backend):
+    """Upper-bound extract of the three 3M estimation lanes with ONE shared
+    pre-shift per row/col from amax(max(|Re|,|Im|)): ub|Re|, ub|Im|, and the
+    SIGNED difference ub|Re| - ub|Im| (the reference's sub_ru_8bit lane,
+    scaling_accu_complex.hpp:6-50,100-126) -- the difference of the ub planes
+    (not an extraction of Re-Im), so the 3M identity holds exactly on the
+    extracted integers."""
+    reduce_axis = 1 - scale_axis
+    ar_, ai_ = jnp.abs(re), jnp.abs(im)
+    amax = jnp.max(jnp.maximum(ar_, ai_), axis=reduce_axis)
+    E = quantize.ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
+    pre = np.int32(quantize.MAX_UFP[backend]) - E
+    ub_r = quantize.extract_ub_with_pre(ar_, pre, reduce_axis, backend)
+    ub_i = quantize.extract_ub_with_pre(ai_, pre, reduce_axis, backend)
+    ub_ri = ub_r - ub_i            # |.| <= 2^maxUFP+1: exact in int8 / bf16
+    return ub_r, ub_i, ub_ri, pre
+
+
 def _shift_complex_accu(ar, ai, br, bi, num_moduli, backend):
-    """Accurate mode: upper-bound extraction on |re|+|im| (a single int8 GEMM
-    bounding all four lane products at once; conservative variant of the
-    reference's three-GEMM estimate, scaling_accu_complex.hpp)."""
-    mag_a = jnp.abs(ar) + jnp.abs(ai)
-    mag_b = jnp.abs(br) + jnp.abs(bi)
-    ub_a, pre_a = quantize.extract_ub_plane(mag_a, backend, scale_axis=0)
-    ub_b, pre_b = quantize.extract_ub_plane(mag_b, backend, scale_axis=1)
-    c_hi = quantize.estimate_gemm(ub_a, ub_b, backend)
+    """Accurate mode with the reference's 3M product bounds
+    (scaling_accu_complex.hpp:128-226, find_max.hpp:99-251): three estimation
+    GEMMs of the lane extracts, recombined through the 3M identity on the
+    extracted ub integers u = ub|.|:
+
+      C0 = (uAr-uAi) @ (uBr-uBi)
+      C1 = uAr @ uBi + uAi @ uBr            >= |Im(C)| * 2^(preA+preB)
+      C0 + C1 = uAr@uBr + uAi@uBi           >= |Re(C)| * 2^(preA+preB)
+      amax = max(C0 + C1, C1)               (C0 may be negative)
+
+    This recovers the shift bits the previous single (|Re|+|Im|)-GEMM bound
+    gave away (it overestimates both parts by up to the cross-term ratio,
+    costing ~1-2 quantization bits on accu-mode CGEMM/ZGEMM)."""
+    ua_r, ua_i, ua_ri, pre_a = _extract_ub_lanes(ar, ai, 0, backend)
+    ub_r, ub_i, ub_ri, pre_b = _extract_ub_lanes(br, bi, 1, backend)
+    # one batched estimation dot: (3, m, k) x (3, k, n)
+    lhs = jnp.stack([ua_ri, ua_r, ua_i])
+    rhs = jnp.stack([ub_ri, ub_i, ub_r])
+    if backend == tables.Backend.INT8:
+        d = jax.lax.dot_general(lhs, rhs, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.int32)
+        c0, c1 = d[0], d[1] + d[2]
+    else:
+        k = lhs.shape[2]
+        d = jax.lax.dot_general(lhs, rhs, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        infl = np.float32(1.0 + (k + 1) * 2.0 ** -24)
+        c0, c1 = d[0] * infl, d[1] * infl + d[2] * infl
+    bound = jnp.maximum(c0 + c1, c1)
     sft_a = quantize.shift_accu_from_chi(
-        jnp.max(c_hi, axis=1), pre_a, num_moduli, backend)
+        jnp.max(bound, axis=1), pre_a, num_moduli, backend)
     sft_b = quantize.shift_accu_from_chi(
-        jnp.max(c_hi, axis=0), pre_b, num_moduli, backend)
+        jnp.max(bound, axis=0), pre_b, num_moduli, backend)
     return sft_a, sft_b
 
 

@@ -170,27 +170,45 @@ def shift_fast(x: jax.Array, num_moduli: int, backend: str, reduce_axis: int) ->
 # [reference: scaling_accu_real.hpp]
 # ---------------------------------------------------------------------------
 
+def extract_ub_with_pre(ax: jax.Array, sft_pre: jax.Array, reduce_axis: int,
+                        backend: str):
+    """ceil(ax * 2^sft_pre) as an upper-bound extract plane with a GIVEN
+    pre-shift (shared across complex lanes). INT8: int8 (exact estimation
+    GEMM); FP8: bf16 with round-UP conversion so the bound survives values
+    above bf16's 8-bit integer-exact range."""
+    y = pow2_scale(ax, jnp.expand_dims(sft_pre, reduce_axis))
+    c1 = y.astype(jnp.float32)
+    tail = (y - c1.astype(y.dtype)) if y.dtype != jnp.float32 \
+        else jnp.zeros_like(c1)
+    ub = jnp.ceil(c1) + (tail.astype(jnp.float32) > 0)
+    ub = jnp.where(ax > 0, jnp.maximum(ub, 1.0), 0.0)
+    if backend == tables.Backend.INT8:
+        return ub.astype(jnp.int8)
+    b = ub.astype(jnp.bfloat16)
+    # round up: if the bf16 cast rounded down, bump one ulp (values are >= 0)
+    low = b.astype(jnp.float32) < ub
+    bumped = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(b, jnp.int16) + jnp.int16(1),
+        jnp.bfloat16)
+    return jnp.where(low, bumped, b)
+
+
 def extract_ub_plane(x: jax.Array, backend: str, scale_axis: int):
     """ceil(|x| * 2^(maxUFP - ilogb(amax))) as int8 (values in [0, 2^maxUFP+1]),
     plus the pre-shift. Upper bound of the reference's round-up extraction
     (scaling_accu_real.hpp:46-74); the +tail term keeps it a true upper bound
-    without bit-exact f64 ceil."""
+    without bit-exact f64 ceil.
+
+    INT8: values <= 2^5+1 fit int8 (exact int32 estimation GEMM). FP8: values
+    <= 2^7+1 exceed int8; carried in bf16 and estimated via an f32-
+    accumulating GEMM, like the reference's fp8 extract (template_type.hpp:30-55).
+    """
     reduce_axis = 1 - scale_axis
     ax = jnp.abs(x)
     amax = jnp.max(ax, axis=reduce_axis)
     E = ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
     sft_pre = np.int32(MAX_UFP[backend]) - E
-    y = pow2_scale(ax, jnp.expand_dims(sft_pre, reduce_axis))
-    c1 = y.astype(jnp.float32)
-    tail = (y - c1.astype(y.dtype)) if y.dtype != jnp.float32 else jnp.zeros_like(c1)
-    ub = jnp.ceil(c1) + (tail.astype(jnp.float32) > 0)
-    ub = jnp.where(ax > 0, jnp.maximum(ub, 1.0), 0.0)
-    # INT8: values <= 2^5+1 fit int8 (exact int32 estimation GEMM). FP8: values
-    # <= 2^7+1 exceed int8; carry in bf16 (exact) and estimate via an f32-
-    # accumulating GEMM, like the reference's fp8 extract (template_type.hpp:30-55).
-    if backend == tables.Backend.INT8:
-        return ub.astype(jnp.int8), sft_pre
-    return ub.astype(jnp.bfloat16), sft_pre
+    return extract_ub_with_pre(ax, sft_pre, reduce_axis, backend), sft_pre
 
 
 def estimate_gemm(ub_a: jax.Array, ub_b: jax.Array, backend: str) -> jax.Array:

@@ -111,3 +111,44 @@ def test_planar_matches_complex_bitwise():
                             num_moduli=10, trans_a="C")
     np.testing.assert_array_equal(np.asarray(cr), np.real(np.asarray(c)))
     np.testing.assert_array_equal(np.asarray(ci), np.imag(np.asarray(c)))
+
+
+def test_accu_mode_3m_bounds_beat_fast():
+    """Accurate-mode complex shifts use the reference's 3M product bounds
+    (scaling_accu_complex.hpp:128-226, find_max.hpp:99-251): on
+    exponent-spread (phi=2) inputs, accu-mode ZGEMM error must beat fast
+    mode by a large factor, mirroring the real-path accu gain."""
+    rng = np.random.default_rng(55)
+    m = n = 64
+    k = 256
+    phi = 2.0
+    ar, ai = phi_matrix(rng, m, k, phi), phi_matrix(rng, m, k, phi)
+    br, bi = phi_matrix(rng, k, n, phi), phi_matrix(rng, k, n, phi)
+    a = jnp.asarray(ar + 1j * ai)
+    b = jnp.asarray(br + 1j * bi)
+    ref = (np.asarray(ar, np.longdouble) + 1j * np.asarray(ai, np.longdouble)) \
+        @ (np.asarray(br, np.longdouble) + 1j * np.asarray(bi, np.longdouble))
+
+    def err(c):
+        c = np.asarray(c)
+        return max(
+            float(np.max(np.abs(c.real - ref.real)
+                         / np.maximum(np.abs(ref.real), 1e-300))),
+            float(np.max(np.abs(c.imag - ref.imag)
+                         / np.maximum(np.abs(ref.imag), 1e-300))))
+
+    e_fast = err(g8.gemm(a, b, num_moduli=12))
+    e_accu = err(g8.gemm(a, b, num_moduli=12, fastmode=False))
+    assert e_accu * 50 < e_fast, (e_accu, e_fast)
+
+    # the complex accu gain mirrors the real-path accu gain on the same
+    # difficulty (within an order of magnitude)
+    ra = jnp.asarray(phi_matrix(rng, m, k, phi))
+    rb = jnp.asarray(phi_matrix(rng, k, n, phi))
+    rref = np.asarray(ra, np.longdouble) @ np.asarray(rb, np.longdouble)
+    rf = np.asarray(g8.gemm(ra, rb, num_moduli=12))
+    rc = np.asarray(g8.gemm(ra, rb, num_moduli=12, fastmode=False))
+    gain_real = (np.max(np.abs(rf - rref) / np.abs(rref))
+                 / np.max(np.abs(rc - rref) / np.abs(rref)))
+    gain_cplx = e_fast / e_accu
+    assert gain_cplx > gain_real / 30, (gain_cplx, gain_real)
