@@ -82,6 +82,19 @@ def main():
             nat_max, nat_med = errs(a @ b, ref)
             rows_out.append([k, phi, "native", "", nat_max, nat_med])
             print(f"k={k} phi={phi} native: {nat_max:.3e}", file=sys.stderr)
+            # alternative-emulation comparison rows (reference:
+            # test_accuracy.hpp:84-156 BF16x9 / ozaki1.hpp "OS1")
+            if not is_cplx:
+                from gemmul8_tpu import compare
+                if args.dtype == "f32":
+                    alt = compare.matmul_bf16x9(jnp.asarray(a), jnp.asarray(b))
+                    amax_, amed_ = errs(np.asarray(alt), ref)
+                    rows_out.append([k, phi, "bf16x9", "", amax_, amed_])
+                else:
+                    alt = compare.matmul_os1_int8(jnp.asarray(a),
+                                                  jnp.asarray(b), d=8)
+                    amax_, amed_ = errs(np.asarray(alt), ref)
+                    rows_out.append([k, phi, "os1-int8", 8, amax_, amed_])
             for nu in nu_range:
                 c = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b),
                                        num_moduli=nu, fastmode=bool(args.fast)))

@@ -77,6 +77,25 @@ def main():
             print(f"{s}^3 native: complex dtypes UNSUPPORTED on this runtime",
                   file=sys.stderr)
 
+        # alternative-emulation comparison rows (reference:
+        # test_flops.hpp:303-388 BF16x9 / ozaki1.hpp "OS1")
+        if not is_cplx:
+            from gemmul8_tpu import compare
+            if args.dtype == "f32":
+                t_alt = timed_loop(compare.matmul_bf16x9, aj, bj, args.iters)
+                name = "bf16x9"
+                nual = ""
+            else:
+                t_alt = timed_loop(
+                    functools.partial(compare.matmul_os1_int8, d=8),
+                    aj, bj, args.iters)
+                name = "os1-int8"
+                nual = 8
+            alt_tflops = flop_factor * m * n * k / t_alt / 1e12
+            rows.append([s, name, nual, t_alt, alt_tflops, "", "", "", ""])
+            print(f"{s}^3 {name}: {t_alt*1e3:.2f} ms = {alt_tflops:.2f} "
+                  f"TFLOP/s", file=sys.stderr)
+
         for nu in [int(x) for x in args.nu.split(",")]:
             if is_cplx:
                 # planar lanes: complex dtypes are unsupported on some TPU
@@ -104,6 +123,18 @@ def main():
             rows.append([s, "oz2-fast", nu, t, tflops, *ph])
             print(f"{s}^3 nu={nu}: {t*1e3:.2f} ms = {tflops:.2f} TFLOP/s "
                   f"({tflops/nat_tflops:.2f}x native)", file=sys.stderr)
+
+        # syrk row (plane-reuse capability; encode cost halves vs gemm)
+        if not is_cplx:
+            from gemmul8_tpu import core as g8core
+            nu0 = [int(x) for x in args.nu.split(",")][-1]
+            t_sy = timed_loop(
+                lambda x, y: g8core.syrk(x, num_moduli=nu0), aj, bj,
+                args.iters)
+            sy_tflops = flop_factor * m * n * k / t_sy / 1e12
+            rows.append([s, "oz2-syrk", nu0, t_sy, sy_tflops, "", "", "", ""])
+            print(f"{s}^3 syrk nu={nu0}: {t_sy*1e3:.2f} ms = "
+                  f"{sy_tflops:.2f} TFLOP/s", file=sys.stderr)
 
     with open(out, "w", newline="") as f:
         w = csv.writer(f)

@@ -29,6 +29,43 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+import re
+
+
+def parse_tpu_info_power(text: str) -> float:
+    """Sum per-chip power draw (watts) from `tpu-info` output.
+
+    Handles the formats the CLI emits (unit-tested against fixtures in
+    tests/test_power_parsers.py):
+      * rich-table rows with "<current> W / <limit> W" -- take only the
+        CURRENT draw, never the limit (the old token-sniffing parser summed
+        both, doubling the number);
+      * bare "<value> W" occurrences;
+      * "power_draw: <value>"-style key/value metrics lines.
+    Returns NaN when no power figure is present.
+    """
+    total = 0.0
+    found = False
+    for line in text.splitlines():
+        # "45.25 W / 250.00 W" -> current draw only
+        m = re.search(r"([0-9]+(?:\.[0-9]+)?)\s*W\s*/\s*[0-9]+(?:\.[0-9]+)?\s*W",
+                      line)
+        if m:
+            total += float(m.group(1))
+            found = True
+            continue
+        m = re.search(r"power[_ ]?draw\s*[:=]\s*([0-9]+(?:\.[0-9]+)?)", line,
+                      re.IGNORECASE)
+        if m:
+            total += float(m.group(1))
+            found = True
+            continue
+        for m in re.finditer(r"([0-9]+(?:\.[0-9]+)?)\s*W\b", line):
+            total += float(m.group(1))
+            found = True
+    return total if found else float("nan")
+
+
 class TpuInfoSampler:
     """Polls libtpu's metrics endpoint via the `tpu-info` CLI (TPU VMs)."""
 
@@ -37,20 +74,16 @@ class TpuInfoSampler:
         try:
             r = subprocess.run(["tpu-info", "--metric", "power"], timeout=5,
                                capture_output=True, text=True)
-            return r.returncode == 0 and "W" in r.stdout
+            import math
+            return (r.returncode == 0
+                    and not math.isnan(parse_tpu_info_power(r.stdout)))
         except Exception:
             return False
 
     def sample(self) -> float:
         r = subprocess.run(["tpu-info", "--metric", "power"], timeout=5,
                            capture_output=True, text=True)
-        watts = 0.0
-        for tok in r.stdout.split():
-            try:
-                watts += float(tok.rstrip("W"))
-            except ValueError:
-                pass
-        return watts
+        return parse_tpu_info_power(r.stdout)
 
 
 class RaplSampler:
@@ -86,7 +119,17 @@ class RaplSampler:
             return 0.0
         t0, e0 = self._last
         self._last = (now, uj)
-        return (uj - e0) * 1e-6 / max(now - t0, 1e-6)
+        return rapl_watts(e0, uj, now - t0)
+
+
+def rapl_watts(e0_uj: int, e1_uj: int, dt: float) -> float:
+    """Watts from two RAPL energy_uj readings. The counter WRAPS at
+    max_energy_range_uj; a wrapped interval (e1 < e0) cannot be recovered
+    without the range, so report 0 for that sample instead of a huge
+    negative wattage (unit-tested in tests/test_power_parsers.py)."""
+    if e1_uj < e0_uj:
+        return 0.0
+    return (e1_uj - e0_uj) * 1e-6 / max(dt, 1e-6)
 
 
 def pick_sampler():
@@ -168,11 +211,15 @@ def main():
         watts = float("nan")
         gflops_per_watt = float("nan")
 
+    def _j(v):
+        # NaN is not valid JSON: report the no-telemetry path explicitly
+        return None if isinstance(v, float) and v != v else v
+
     result = {
         "size": args.size, "num_moduli": args.nu, "seconds": round(elapsed, 2),
         "gemm_calls": calls, "tflops": round(tflops, 3),
-        "power_source": source, "watts": watts,
-        "gflops_per_watt": gflops_per_watt,
+        "power_source": source, "watts": _j(watts),
+        "gflops_per_watt": _j(gflops_per_watt),
         "device": jax.devices()[0].device_kind,
         "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
     }

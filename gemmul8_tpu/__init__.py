@@ -4,19 +4,19 @@ Emulates SGEMM/DGEMM/CGEMM/ZGEMM on the TPU's int8 MXU with bit-reproducible
 results and a selectable num_moduli accuracy/speed dial. A from-scratch
 JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md).
 """
-from . import tables
+from . import compare, tables
 from .config import GemmConfig, env_config
 from .complex_gemm import gemm_planar
 from .core import (QuantizedOperand, gemm, gemm_quantized, gemm_with_phases,
-                   matmul, precompute, work_bytes)
+                   matmul, precompute, syrk, work_bytes)
 from .hook import emulate, install, refresh, uninstall
 from .tables import Backend
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
-    "gemm", "matmul", "gemm_quantized", "precompute", "QuantizedOperand",
-    "work_bytes", "gemm_with_phases", "gemm_planar",
-    "Backend", "GemmConfig", "env_config", "tables",
+    "gemm", "matmul", "syrk", "gemm_quantized", "precompute",
+    "QuantizedOperand", "work_bytes", "gemm_with_phases", "gemm_planar",
+    "Backend", "GemmConfig", "env_config", "tables", "compare",
     "emulate", "install", "refresh", "uninstall",
 ]

@@ -318,6 +318,67 @@ def matmul(a: jax.Array, b: jax.Array, **kw) -> jax.Array:
     return gemm(a, b, **kw)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "trans", "epilogue"))
+def _syrk(a, *, num_moduli, fastmode, backend, trans, epilogue):
+    if trans:
+        a = a.T
+    out_dtype = a.dtype
+    mdim = a.shape[0]
+    if jax.default_backend() != "cpu":
+        a = _pad128(a, (0, 1))
+    # one encode serves both sides: rows of A and columns of A.T carry the
+    # SAME shifts and the same quantized integers, so the rhs planes are a
+    # transpose view of the lhs planes (no second quantization pass)
+    if fastmode:
+        sft = quantize.shift_fast(a, num_moduli, backend, reduce_axis=1)
+    else:
+        ub, pre = quantize.extract_ub_plane(a, backend, scale_axis=0)
+        ub_t = jnp.swapaxes(ub, 0, 1)
+        c_est = quantize.estimate_gemm(ub, ub_t, backend)
+        sft = quantize.shift_accu_from_chi(
+            jnp.max(c_est, axis=1), pre, num_moduli, backend)
+    pa = quantize.encode_planes(a, sft, 0, num_moduli, backend)
+    pb = jnp.swapaxes(pa, pa.ndim - 2, pa.ndim - 1)
+    out = _emulated_product(pa, sft, pb, sft, num_moduli, backend,
+                            out_dtype, epilogue)
+    if out.shape != (mdim, mdim):
+        out = out[:mdim, :mdim]
+    return out
+
+
+def syrk(a: jax.Array, *, trans: bool = False, num_moduli: int = 8,
+         fastmode: bool = True, backend: str = tables.Backend.INT8,
+         alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
+         epilogue: str = "auto") -> jax.Array:
+    """Emulated symmetric rank-k update: C = alpha * A @ A.T + beta * C
+    (trans=True: alpha * A.T @ A + beta * C).
+
+    Capability beyond the reference (which is GEMM-only): the residue-plane
+    representation makes syrk nearly free of quantization cost -- the two
+    operand plane sets are one encode plus a transpose view, halving the
+    encode phase versus gemm(a, a.T). Exactly equal to gemm(a, a.T, ...)
+    with shared row/col shifts; bit-reproducible like gemm.
+    """
+    a = jnp.asarray(a)
+    if a.ndim != 2:
+        raise ValueError(f"syrk expects a 2-D operand, got ndim={a.ndim}")
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        raise NotImplementedError("syrk is real-only; use gemm for complex")
+    lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(
+            f"num_moduli={num_moduli} out of range [{lo},{hi}] for {a.dtype}")
+    out = _syrk(a, num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+                trans=bool(trans), epilogue=epilogue)
+    if not (isinstance(alpha, (int, float)) and alpha == 1):
+        out = jnp.asarray(alpha).astype(out.dtype) * out
+    if c is not None and not (isinstance(beta, (int, float)) and beta == 0):
+        out = out + (c if isinstance(beta, (int, float)) and beta == 1
+                     else jnp.asarray(beta).astype(out.dtype) * c)
+    return out
+
+
 def work_bytes(m: int, n: int, k: int, num_moduli: int,
                dtype=jnp.float64, backend: str = tables.Backend.INT8) -> int:
     """Planning estimate of peak temporary device memory (bytes) for one emulated

@@ -211,3 +211,28 @@ def test_padded_gemm_matches_exact():
     out = core.gemm(a, b, num_moduli=16)
     ref = np.asarray(a) @ np.asarray(b)
     assert np.max(np.abs(np.asarray(out) - ref)) < 1e-11
+
+
+def test_syrk_matches_gemm_bitwise():
+    """syrk (one encode + transpose view) must equal gemm(a, a.T) bit-for-bit
+    in both modes -- the residue-plane reuse is exact, not approximate."""
+    rng = np.random.default_rng(21)
+    a = jnp.asarray(rng.standard_normal((48, 96)))
+    for fast in (True, False):
+        s = np.asarray(core.syrk(a, num_moduli=12, fastmode=fast))
+        g = np.asarray(core.gemm(a, a.T, num_moduli=12, fastmode=fast))
+        np.testing.assert_array_equal(s, g)
+    # trans=True: A.T @ A
+    st = np.asarray(core.syrk(a, trans=True, num_moduli=12))
+    gt = np.asarray(core.gemm(a.T, a, num_moduli=12))
+    np.testing.assert_array_equal(st, gt)
+    # alpha/beta epilogue
+    c = jnp.asarray(rng.standard_normal((48, 48)))
+    sab = np.asarray(core.syrk(a, num_moduli=12, alpha=-1.5, beta=2.0, c=c))
+    ref = -1.5 * np.asarray(core.gemm(a, a.T, num_moduli=12)) + 2.0 * np.asarray(c)
+    assert np.max(np.abs(sab - ref)) < 1e-12
+    # validation
+    with pytest.raises(NotImplementedError):
+        core.syrk(jnp.zeros((4, 4), jnp.complex128), num_moduli=8)
+    with pytest.raises(ValueError):
+        core.syrk(jnp.zeros((4, 4, 4)), num_moduli=8)
