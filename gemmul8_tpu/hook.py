@@ -204,6 +204,84 @@ def _hook_bind(lhs, rhs, *rest, **params):
 
 
 # ---------------------------------------------------------------------------
+# eager operator interception: jnp.matmul / a @ b run under implicit jit, so
+# the primitive hook only ever sees tracers and the plane cache cannot hit.
+# To give the common call paths the reference Info_t behavior (hook.cu:87-107
+# -- repeated GEMMs on the same operand skip re-quantization), install() also
+# wraps the function-level entries: the jnp.matmul/jnp.dot module attributes
+# AND the PjitFunction captured in jax.Array.__matmul__'s closure cell (the
+# operator binds the function object at class creation, so module patching
+# alone cannot reach `a @ b`). Concrete 2-D eligible calls route through the
+# eager cached path; everything else falls through to the original (where
+# the primitive hook still applies inside traces).
+# ---------------------------------------------------------------------------
+_fn_patches: list = []
+
+
+def _eager_matmul_wrapper(orig):
+    @functools.wraps(orig)
+    def wrapped(a, b, *args, **kwargs):
+        if (_installed and not args and not kwargs
+                and isinstance(a, jax.Array) and isinstance(b, jax.Array)
+                and not isinstance(a, jax.core.Tracer)
+                and not isinstance(b, jax.core.Tracer)
+                and getattr(a, "ndim", 0) == 2 and getattr(b, "ndim", 0) == 2
+                and a.shape[1] == b.shape[0]):
+            st = _st()
+            dt = np.dtype(a.dtype).name
+            # only divert when the eager plane cache applies (fast-mode real
+            # configs); everything else runs the original implicit-jit path,
+            # where the primitive hook compiles the emulation once
+            if (st.depth == 0 and dt == np.dtype(b.dtype).name
+                    and dt in ("float32", "float64")
+                    and os.environ.get("GEMMUL8_EAGER_CACHE", "1")
+                    not in ("0", "false")):
+                cfg = st.overrides if st.overrides is not None \
+                    else config.env_config(dt)
+                if cfg is not None and cfg.fastmode and cfg.validate(dt):
+                    st.depth += 1
+                    try:
+                        return _emulated_dot_general(
+                            a, b, (((1,), (0,)), ((), ())), cfg)
+                    finally:
+                        st.depth -= 1
+        return orig(a, b, *args, **kwargs)
+    return wrapped
+
+
+def _patch_functions():
+    if _fn_patches:
+        return
+    arr_t = type(jnp.zeros((), jnp.float32))
+    for name in ("__matmul__", "__rmatmul__"):
+        op = getattr(arr_t, name, None)
+        if op is None or op.__closure__ is None:
+            continue
+        try:
+            idx = op.__code__.co_freevars.index("binary_op")
+        except ValueError:
+            continue
+        cell = op.__closure__[idx]
+        orig = cell.cell_contents
+        cell.cell_contents = _eager_matmul_wrapper(orig)
+        _fn_patches.append(("cell", cell, orig))
+    for mod, name in ((jnp, "matmul"), (jnp, "dot")):
+        orig = getattr(mod, name)
+        setattr(mod, name, _eager_matmul_wrapper(orig))
+        _fn_patches.append(("attr", (mod, name), orig))
+
+
+def _unpatch_functions():
+    while _fn_patches:
+        kind, where, orig = _fn_patches.pop()
+        if kind == "cell":
+            where.cell_contents = orig
+        else:
+            mod, name = where
+            setattr(mod, name, orig)
+
+
+# ---------------------------------------------------------------------------
 # env-change auto-detection: the reference hook re-reads GEMMUL8_* on EVERY
 # call (hook.cu:283-310), so apps may setenv() between GEMMs. Under XLA the
 # config is baked into compiled executables at trace time, so a changed env
@@ -272,6 +350,7 @@ def install(num_moduli: Optional[int] = None, fastmode: Optional[bool] = None,
         prim.bind = _hook_bind
         _installed = True
     _patch_environ()
+    _patch_functions()
     # drop executables traced before install / under a different override
     jax.clear_caches()
 
@@ -282,6 +361,7 @@ def uninstall() -> None:
         _primitive().bind = _orig_bind
         _installed = False
         _unpatch_environ()
+        _unpatch_functions()
         jax.clear_caches()  # drop traces that baked in the emulation
     _st().overrides = None
 

@@ -236,3 +236,25 @@ def test_syrk_matches_gemm_bitwise():
         core.syrk(jnp.zeros((4, 4), jnp.complex128), num_moduli=8)
     with pytest.raises(ValueError):
         core.syrk(jnp.zeros((4, 4, 4)), num_moduli=8)
+
+
+def test_eager_cache_covers_operator_and_module_calls(hooked):
+    """The reference Info_t cache covers every hooked call (hook.cu:87-107);
+    here a @ b / jnp.matmul / jnp.dot on concrete arrays must all hit the
+    plane cache (install() patches the operator's captured PjitFunction),
+    bit-matching the direct API."""
+    os.environ["GEMMUL8_NUM_MOD_D"] = "12"
+    rng = np.random.default_rng(31)
+    a = jnp.asarray(rng.standard_normal((64, 96)))
+    b = jnp.asarray(rng.standard_normal((96, 48)))
+    direct = np.asarray(g8.gemm(a, b, num_moduli=12))
+    h0 = hook.cache_hits
+    outs = [a @ b, a @ b, jnp.matmul(a, b), jnp.dot(a, b)]
+    assert hook.cache_hits - h0 >= 6      # 3 repeat calls x 2 operands
+    for r in outs:
+        np.testing.assert_array_equal(np.asarray(r), direct)
+    # jit path still works (primitive hook), batched shapes fall through
+    rj = jax.jit(lambda x, y: x @ y)(a, b)
+    np.testing.assert_array_equal(np.asarray(rj), direct)
+    z = jnp.ones((2, 3, 4)) @ jnp.ones((2, 4, 5))
+    assert z.shape == (2, 3, 5)
