@@ -33,19 +33,30 @@ def _quantize_complex(re, im, sft, scale_axis, num_moduli, backend, conj):
     """Emit the 3 lane plane-sets (Re, Im, (Re+Im) mod p) for one operand.
 
     Returns (3, nu, r, c) int8 for INT8, (3, nu, 3, r, c) bf16 for FP8
-    (reference: mod.hpp:315-326 complex ModUnroll; fp8 lanes mirror f8x9)."""
+    (reference: mod.hpp:315-326 complex ModUnroll; fp8 lanes mirror f8x9).
+
+    INT8 lanes route through quantize.encode_planes (the fused Pallas
+    encoder on TPU); the (Re+Im) lane is derived from the two wrapped lane
+    planes with one cheap elementwise wrap -- bit-identical to encoding
+    Re+Im directly in residue space."""
     if conj:
         im = -im
+    mods = tables.moduli(backend)[:num_moduli]
+    if backend == tables.Backend.INT8:
+        rr = quantize.encode_planes(re, sft, scale_axis, num_moduli, backend)
+        ri = quantize.encode_planes(im, sft, scale_axis, num_moduli, backend)
+        p_arr = jnp.asarray(mods, jnp.int32).reshape(num_moduli, 1, 1)
+        s = rr.astype(jnp.int32) + ri.astype(jnp.int32)   # in (-p, p)
+        s = jnp.where(2 * s >= p_arr, s - p_arr, s)
+        s = jnp.where(2 * s < -p_arr, s + p_arr, s)
+        return jnp.stack([rr, ri, s.astype(jnp.int8)])
     rr = quantize.residues_wrapped(re, sft, scale_axis, num_moduli, backend)
     ri = quantize.residues_wrapped(im, sft, scale_axis, num_moduli, backend)
-    mods = tables.moduli(backend)[:num_moduli]
     rri = []
     for i, p in enumerate(mods):
         s = (rr[i] + ri[i]) % p
         rri.append(jnp.where(2 * s >= p, s - p, s))
     lanes = jnp.stack([rr, ri, jnp.stack(rri)])     # (3, nu, ...) int32
-    if backend == tables.Backend.INT8:
-        return lanes.astype(jnp.int8)
     from . import fp8
     return jax.vmap(lambda r: fp8.split_planes(r, num_moduli))(lanes)
 
@@ -144,8 +155,19 @@ def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
     This IS the TPU-native complex path: the tested v5e PJRT stack does not
     implement complex64/128 at all (UNIMPLEMENTED at transfer time), and the
     3M residue pipeline is planar internally anyway. The complex-dtype
-    wrapper below delegates here (CPU and other platforms)."""
+    wrapper below delegates here (CPU and other platforms).
+
+    On accelerators, operands are zero-padded to multiples of 128 (fused
+    encode + epilogue alignment) and the whole lane-product dot feeds ONE
+    fused Pallas epilogue (wrap + 3M recombine + dual CRT + descale) --
+    bit-identical to the unfused chain."""
     real_dt = ar.dtype
+    m, n = ar.shape[0], br.shape[1]
+    if jax.default_backend() != "cpu":
+        ar = core._pad128(ar, (0, 1))
+        ai = core._pad128(ai, (0, 1))
+        br = core._pad128(br, (0, 1))
+        bi = core._pad128(bi, (0, 1))
 
     if fastmode:
         sft_a = _shift_complex_fast(ar, ai, num_moduli, backend, reduce_axis=1)
@@ -155,16 +177,46 @@ def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
 
     pa = _quantize_complex(ar, ai, sft_a, 0, num_moduli, backend, conj=conj_a)
     pb = _quantize_complex(br, bi, sft_b, 1, num_moduli, backend, conj=conj_b)
-    # one residue GEMM per lane product (Crr, Cii, Crii), vmapped so XLA fuses
-    # all 3*nu (INT8) / 9*nu (FP8) MXU matmuls into one batched dot; K-chunking
-    # inside residue_gemm keeps accumulation exact for any k.
-    mids = jax.vmap(
-        lambda x, y: core.residue_gemm(x, y, num_moduli, backend))(pa, pb)
-    mid_r, mid_i = _recombine_3m(mids, num_moduli, backend)
-    ab_r = core.reconstruct_scale(mid_r, sft_a, sft_b, num_moduli, backend,
-                                  real_dt, epilogue)
-    ab_i = core.reconstruct_scale(mid_i, sft_a, sft_b, num_moduli, backend,
-                                  real_dt, epilogue)
+
+    k = ar.shape[1]
+    # nu <= 16: the 3*nu-wrap dual-CRT kernel body grows ~3x faster than the
+    # real one and Mosaic compile time becomes pathological near nu=20;
+    # larger nu takes the unfused chain (correct, slower -- rare corner)
+    use_fused = (core.resolve_epilogue(epilogue) == "ff"
+                 and jax.default_backend() != "cpu"
+                 and backend == tables.Backend.INT8
+                 and num_moduli <= 16
+                 and k <= core.K_CHUNK
+                 and ar.shape[0] % 128 == 0 and br.shape[1] % 128 == 0)
+    if use_fused:
+        from . import pallas_kernels as pk
+        nu = num_moduli
+        c_hi3 = core.residue_matmul(pa.reshape(3 * nu, *pa.shape[2:]),
+                                    pb.reshape(3 * nu, *pb.shape[2:]))
+        out_bits = 53 if np.dtype(real_dt).itemsize == 8 else 24
+        hire, lore, hiim, loim = pk.fused_epilogue_complex(
+            c_hi3, sft_a, sft_b, nu, backend, out_bits)
+        if out_bits == 24:
+            ab_r = (hire + lore).astype(real_dt)
+            ab_i = (hiim + loim).astype(real_dt)
+        else:
+            ab_r = hire.astype(real_dt) + lore.astype(real_dt)
+            ab_i = hiim.astype(real_dt) + loim.astype(real_dt)
+    else:
+        # one residue GEMM per lane product (Crr, Cii, Crii), vmapped so XLA
+        # fuses all 3*nu (INT8) / 9*nu (FP8) MXU matmuls into one batched
+        # dot; K-chunking inside residue_gemm keeps accumulation exact for
+        # any k.
+        mids = jax.vmap(
+            lambda x, y: core.residue_gemm(x, y, num_moduli, backend))(pa, pb)
+        mid_r, mid_i = _recombine_3m(mids, num_moduli, backend)
+        ab_r = core.reconstruct_scale(mid_r, sft_a, sft_b, num_moduli,
+                                      backend, real_dt, epilogue)
+        ab_i = core.reconstruct_scale(mid_i, sft_a, sft_b, num_moduli,
+                                      backend, real_dt, epilogue)
+    if ab_r.shape != (m, n):
+        ab_r = ab_r[:m, :n]
+        ab_i = ab_i[:m, :n]
     return ab_r, ab_i
 
 

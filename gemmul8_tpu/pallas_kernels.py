@@ -214,46 +214,41 @@ def encode_supported(x, num_moduli: int, backend: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _epilogue_kernel(sfta_ref, sftb_ref, chi_ref, hi_ref, lo_ref, *,
-                     num_moduli, mods, w2_16, w16, p16, L, invp_top,
-                     base, descale):
-    """One (BM, BN) tile: per-modulus wrap -> limb MACs -> carry -> quotient
-    fold -> compensated descale. All integer steps exact in int32.
+def _wrap_full(acc, p_int, w2, inv):
+    """wrap(acc mod p) for |acc| < 2^31 into [-p/2, p/2): two-stage fold so
+    the residual magnitude (< 2^23) is f32-exact, then one rint division
+    (Mosaic has no integer div/mod)."""
+    i32 = np.int32
+    p = i32(p_int)
+    acc_hi = jnp.right_shift(acc, i32(16))
+    acc_lo = acc - jnp.left_shift(acc_hi, i32(16))         # in [0, 2^16)
+    t = acc_hi * i32(w2) + acc_lo                          # |t| < 2^23
+    q = jnp.rint(t.astype(jnp.float32) * np.float32(inv)).astype(jnp.int32)
+    r = t - q * p
+    r = jnp.where(r < i32(0), r + p, r)
+    r = jnp.where(r >= p, r - p, r)
+    r = jnp.where(i32(2) * r >= p, r - p, r)               # [-p/2, p/2)
+    return r
 
-    w2_16[i] = wrap(2^16 mod p_i); w16[i][li] = 16-bit slice li of qPi >> base;
-    p16[li] = 16-bit slice of P >> base; descale = (s1, s2) static per-limb
-    power-of-two factor pair.
-    """
+
+def _crt_limbs_from_res(rs, w16, p16, L, invp_top, num_moduli):
+    """Wrapped residues (list of nu (BM, BN) int32) -> carry-normalized
+    16-bit limbs after the P*quot fold. Exact int32 throughout; identical
+    limb values to ff.crt_limbs_matrix."""
     i32 = np.int32
     f32 = np.float32
-
-    limbs = [jnp.zeros(hi_ref.shape, jnp.int32) for _ in range(L)]
+    limbs = [jnp.zeros(rs[0].shape, jnp.int32) for _ in range(L)]
     for i in range(num_moduli):
-        p = i32(mods[i])
-        acc = chi_ref[i, :, :]
-        # two-stage wrap: fold the top 16 bits via wrap(2^16 mod p) so the
-        # remaining magnitude (< 2^23) is f32-exact, then one rint division
-        # (Mosaic has no integer div/mod)
-        acc_hi = jnp.right_shift(acc, i32(16))
-        acc_lo = acc - jnp.left_shift(acc_hi, i32(16))     # in [0, 2^16)
-        t = acc_hi * i32(w2_16[i]) + acc_lo                # |t| < 2^23
-        q = jnp.rint(t.astype(jnp.float32) * f32(1.0 / mods[i])
-                     ).astype(jnp.int32)
-        r = t - q * p
-        r = jnp.where(r < i32(0), r + p, r)
-        r = jnp.where(r >= p, r - p, r)
-        r = jnp.where(i32(2) * r >= p, r - p, r)           # [-p/2, p/2)
+        r = rs[i]
         for li in range(L):
             if w16[i][li]:
                 # |r * w16| <= 128 * 65535 < 2^23; nu-term sums < 2^27
                 limbs[li] = limbs[li] + r * i32(w16[i][li])
-
     half = i32(1 << 15)
     for li in range(L - 1):
         c = jnp.right_shift(limbs[li] + half, i32(16))
         limbs[li] = limbs[li] - jnp.left_shift(c, i32(16))
         limbs[li + 1] = limbs[li + 1] + c
-
     t_top = limbs[L - 1].astype(jnp.float32)
     for i in range(2, min(3, L) + 1):
         t_top = t_top * f32(65536.0) + limbs[L - i].astype(jnp.float32)
@@ -265,19 +260,24 @@ def _epilogue_kernel(sfta_ref, sftb_ref, chi_ref, hi_ref, lo_ref, *,
         c = jnp.right_shift(limbs[li] + half, i32(16))
         limbs[li] = limbs[li] - jnp.left_shift(c, i32(16))
         limbs[li + 1] = limbs[li + 1] + c
+    return limbs
 
-    # descale: rank-1 power-of-two factors from the shift tiles (each split
-    # in half to stay inside f32's exponent range), limbs merged
-    # smallest-first through a compensated two_sum chain -- op-for-op the
-    # same order as ff.reconstruct_scale_ff's accelerator path
-    sfta = sfta_ref[:]                                     # (BM, 1)
-    sftb = sftb_ref[:]                                     # (1, BN)
+
+def _descale_factors(sfta, sftb):
+    """Rank-1 power-of-two factor pairs from the shift tiles (each split in
+    half to stay inside f32's exponent range)."""
+    i32 = np.int32
     ha = jnp.right_shift(-sfta, i32(1))                    # floor((-s)/2)
-    fa1 = _pow2_f32(ha)
-    fa2 = _pow2_f32(-sfta - ha)
     hb = jnp.right_shift(-sftb, i32(1))
-    fb1 = _pow2_f32(hb)
-    fb2 = _pow2_f32(-sftb - hb)
+    return (_pow2_f32(ha), _pow2_f32(-sfta - ha),
+            _pow2_f32(hb), _pow2_f32(-sftb - hb))
+
+
+def _descale_emit(limbs, factors, descale, L):
+    """Compensated smallest-first limb merge -- op-for-op the same order as
+    ff.reconstruct_scale_ff's accelerator path. Returns (hi, lo) f32."""
+    f32 = np.float32
+    fa1, fa2, fb1, fb2 = factors
     hi = None
     lo = None
     for li in range(L):
@@ -294,6 +294,24 @@ def _epilogue_kernel(sfta_ref, sftb_ref, chi_ref, hi_ref, lo_ref, *,
             err = (hi - (s - tt)) + (term - tt)
             hi = s
             lo = lo + err
+    return hi, lo
+
+
+def _epilogue_kernel(sfta_ref, sftb_ref, chi_ref, hi_ref, lo_ref, *,
+                     num_moduli, mods, w2_16, w16, p16, L, invp_top,
+                     base, descale):
+    """One (BM, BN) tile: per-modulus wrap -> limb MACs -> carry -> quotient
+    fold -> compensated descale. All integer steps exact in int32.
+
+    w2_16[i] = wrap(2^16 mod p_i); w16[i][li] = 16-bit slice li of qPi >> base;
+    p16[li] = 16-bit slice of P >> base; descale = (s1, s2) static per-limb
+    power-of-two factor pair.
+    """
+    rs = [_wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], 1.0 / mods[i])
+          for i in range(num_moduli)]
+    limbs = _crt_limbs_from_res(rs, w16, p16, L, invp_top, num_moduli)
+    factors = _descale_factors(sfta_ref[:], sftb_ref[:])
+    hi, lo = _descale_emit(limbs, factors, descale, L)
     hi_ref[:, :] = hi
     lo_ref[:, :] = lo
 
@@ -386,6 +404,92 @@ def epilogue_supported(num_moduli: int, backend: str, k: int) -> bool:
     """Gate for the fused epilogue: INT8 planes whose int32 dot is exact
     (k <= 2^17; longer K takes the chunked residue-space path)."""
     return backend == tables.Backend.INT8 and k <= (1 << 17)
+
+
+def _epilogue_kernel_cplx(sfta_ref, sftb_ref, chi_ref, hire_ref, lore_ref,
+                          hiim_ref, loim_ref, *, num_moduli, mods, w2_16,
+                          w16, p16, L, invp_top, base, descale):
+    """Complex 3M variant: chi is the (3*nu, BM, BN) stack of lane products
+    (Crr planes, then Cii, then Crii). Per modulus, wrap the three lane
+    sums, recombine in residue space (Re = Crr - Cii, Im = Crii - Crr - Cii,
+    all mod p -- reference: conv_hi2mid_complex.hpp:9-40), then run TWO CRT
+    limb pipelines sharing the shift factors."""
+    i32 = np.int32
+    rs_re = []
+    rs_im = []
+    for i in range(num_moduli):
+        p = i32(mods[i])
+        inv = 1.0 / mods[i]
+        crr = _wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], inv)
+        cii = _wrap_full(chi_ref[num_moduli + i, :, :], mods[i], w2_16[i], inv)
+        cri = _wrap_full(chi_ref[2 * num_moduli + i, :, :], mods[i],
+                         w2_16[i], inv)
+        re = crr - cii                                    # in (-p, p)
+        re = jnp.where(i32(2) * re >= p, re - p, re)
+        re = jnp.where(i32(2) * re < -p, re + p, re)
+        im = cri - crr - cii                              # in (-3p/2, 3p/2)
+        im = jnp.where(i32(2) * im >= p, im - p, im)
+        im = jnp.where(i32(2) * im >= p, im - p, im)
+        im = jnp.where(i32(2) * im < -p, im + p, im)
+        im = jnp.where(i32(2) * im < -p, im + p, im)
+        rs_re.append(re)
+        rs_im.append(im)
+    factors = _descale_factors(sfta_ref[:], sftb_ref[:])
+    limbs = _crt_limbs_from_res(rs_re, w16, p16, L, invp_top, num_moduli)
+    hi, lo = _descale_emit(limbs, factors, descale, L)
+    hire_ref[:, :] = hi
+    lore_ref[:, :] = lo
+    limbs = _crt_limbs_from_res(rs_im, w16, p16, L, invp_top, num_moduli)
+    hi, lo = _descale_emit(limbs, factors, descale, L)
+    hiim_ref[:, :] = hi
+    loim_ref[:, :] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("num_moduli", "backend",
+                                             "out_bits"))
+def fused_epilogue_complex(c_hi3, sft_a, sft_b, num_moduli: int, backend: str,
+                           out_bits: int):
+    """Pallas-fused complex epilogue: (3*nu, m, n) int32 lane products
+    (Crr | Cii | Crii blocks) -> (hi_re, lo_re, hi_im, lo_im) f32.
+    Bit-identical to mod_reduce + _recombine_3m + 2x reconstruct_scale_ff."""
+    mods, w2_16, w16, p16, L, invp_top, base, descale = _epilogue_plan(
+        num_moduli, backend, out_bits)
+    m, n = c_hi3.shape[1], c_hi3.shape[2]
+    bm = bn = 256
+    bytes_per = (2 * 3 * num_moduli + 2 * L + 10) * 4
+    while bm * bn * bytes_per > 11 << 20 and (bm > 64 or bn > 128):
+        if bm >= bn and bm > 64:
+            bm //= 2
+        elif bn > 128:
+            bn //= 2
+        else:
+            break
+    bm = min(bm, m)
+    bn = min(bn, n)
+    if m % bm or n % bn:
+        bm = min(64, m)
+        bn = min(128, n)
+    grid = (m // bm, n // bn)
+    kernel = functools.partial(
+        _epilogue_kernel_cplx, num_moduli=num_moduli, mods=mods,
+        w2_16=w2_16, w16=w16, p16=p16, L=L, invp_top=invp_top, base=base,
+        descale=descale)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, 1), lambda i, j: (i, j * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, bn), lambda i, j: (i * 0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3 * num_moduli, bm, bn),
+                               lambda i, j: (i * 0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[out_spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((m, n), jnp.float32)] * 4,
+        interpret=jax.default_backend() == "cpu",
+    )(sft_a.reshape(m, 1), sft_b.reshape(1, n), c_hi3)
 
 
 # ---------------------------------------------------------------------------

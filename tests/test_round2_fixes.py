@@ -258,3 +258,41 @@ def test_eager_cache_covers_operator_and_module_calls(hooked):
     np.testing.assert_array_equal(np.asarray(rj), direct)
     z = jnp.ones((2, 3, 4)) @ jnp.ones((2, 4, 5))
     assert z.shape == (2, 3, 5)
+
+
+def test_fused_complex_epilogue_bit_identity():
+    """The Pallas fused complex epilogue (wrap + 3M recombine + dual CRT +
+    descale) must be bit-identical to the unfused chain, and the int8-lane
+    _quantize_complex must match the residues_wrapped formulation."""
+    from gemmul8_tpu import complex_gemm, ff
+    from gemmul8_tpu import pallas_kernels as pk
+
+    rng = np.random.default_rng(41)
+    for nu, out_bits, dt in [(12, 53, jnp.float64), (8, 24, jnp.float32),
+                             (20, 53, jnp.float64)]:
+        m = n = k = 128
+        ar = jnp.asarray(rng.standard_normal((m, k)), dt)
+        ai = jnp.asarray(rng.standard_normal((m, k)), dt)
+        br = jnp.asarray(rng.standard_normal((k, n)), dt)
+        bi = jnp.asarray(rng.standard_normal((k, n)), dt)
+        sa = complex_gemm._shift_complex_fast(ar, ai, nu, "INT8", 1)
+        sb = complex_gemm._shift_complex_fast(br, bi, nu, "INT8", 0)
+        pa = complex_gemm._quantize_complex(ar, ai, sa, 0, nu, "INT8", False)
+        pb = complex_gemm._quantize_complex(br, bi, sb, 1, nu, "INT8", False)
+
+        c3 = core.residue_matmul(pa.reshape(3 * nu, m, k),
+                                 pb.reshape(3 * nu, k, n))
+        hire, lore, hiim, loim = pk.fused_epilogue_complex(
+            c3, sa, sb, nu, "INT8", out_bits)
+        mids = jax.vmap(lambda x, y: core.residue_gemm(x, y, nu, "INT8"))(
+            pa, pb)
+        mid_r, mid_i = complex_gemm._recombine_3m(mids, nu, "INT8")
+        for (hi, lo), mid in (((hire, lore), mid_r), ((hiim, loim), mid_i)):
+            limbs, base = ff.crt_limbs_matrix(mid, nu, "INT8", out_bits)
+            ref = ff.descale_accel(limbs, base, 16, sa, sb, out_bits, dt)
+            if out_bits == 24:
+                fused = (hi + lo).astype(dt)
+            else:
+                fused = hi.astype(dt) + lo.astype(dt)
+            iv = jnp.int64 if out_bits == 53 else jnp.int32
+            assert bool(jnp.all(fused.view(iv) == ref.view(iv))), (nu, out_bits)
