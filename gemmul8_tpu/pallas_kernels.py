@@ -103,9 +103,16 @@ def _encode_kernel(sft_ref, c0_ref, c1_ref, out_ref, *, num_moduli, n_limbs,
     for i in range(num_moduli):
         ws = weights[i]
         p = i32(ws[-1])
+        if ws[-1] == 256:
+            # p = 2^8: every 2^(20*lv) weight is 0 mod p -- the residue is
+            # just the low byte of limb 0, balanced by mask arithmetic
+            r = ((limbs[0] + i32(128)) & i32(0xFF)) - i32(128)
+            out_ref[i, :, :] = r.astype(jnp.int8)
+            continue
         acc = limbs[0]
         for lv in range(1, n_limbs):
-            acc = acc + limbs[lv] * i32(ws[lv])
+            if ws[lv]:
+                acc = acc + limbs[lv] * i32(ws[lv])
         # acc mod p without integer division: |acc| <= n_limbs*2^19*p/2 < 2^28,
         # f32 rounds acc by <= 16, so q = rint(acc/p) is within ~0.6 of the
         # real quotient; one correction each side lands r in [0, p)
@@ -217,9 +224,11 @@ def encode_supported(x, num_moduli: int, backend: str) -> bool:
 def _wrap_full(acc, p_int, w2, inv):
     """wrap(acc mod p) for |acc| < 2^31 into [-p/2, p/2): two-stage fold so
     the residual magnitude (< 2^23) is f32-exact, then one rint division
-    (Mosaic has no integer div/mod)."""
+    (Mosaic has no integer div/mod). p = 2^8 reduces to mask arithmetic."""
     i32 = np.int32
     p = i32(p_int)
+    if p_int == 256:
+        return ((acc + i32(128)) & i32(0xFF)) - i32(128)
     acc_hi = jnp.right_shift(acc, i32(16))
     acc_lo = acc - jnp.left_shift(acc_hi, i32(16))         # in [0, 2^16)
     t = acc_hi * i32(w2) + acc_lo                          # |t| < 2^23
