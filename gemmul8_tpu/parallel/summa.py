@@ -119,7 +119,17 @@ def _extract_ub_dist(x, backend, scale_axis, axis_name):
     sharding. (reference: scaling_accu_real.hpp:23-136)"""
     reduce_axis = 1 - scale_axis
     ax = jnp.abs(x)
-    amax = jax.lax.pmax(jnp.max(ax, axis=reduce_axis), axis_name)
+    if x.dtype != jnp.float32 and jax.default_backend() != "cpu":
+        # accelerator: f64 cross-device MAX cannot lower under the f32-pair
+        # x64 rewrite ("Supported lowering only of Sum all reduce"); the
+        # amax only feeds ilogb, whose in-range path reads the f32 exponent
+        # anyway, and f64-pair storage cannot exceed f32's range -- so the
+        # pmax rides f32 exactly (order-free, mesh-shape-invariant)
+        amax = jax.lax.pmax(
+            jnp.max(ax, axis=reduce_axis).astype(jnp.float32),
+            axis_name).astype(x.dtype)
+    else:
+        amax = jax.lax.pmax(jnp.max(ax, axis=reduce_axis), axis_name)
     E = quantize.ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
     sft_pre = np.int32(quantize.MAX_UFP[backend]) - E
     y = quantize.pow2_scale(ax, jnp.expand_dims(sft_pre, reduce_axis))
