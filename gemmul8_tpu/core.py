@@ -51,6 +51,23 @@ def mod_reduce(c_hi: jax.Array, num_moduli: int, backend: str) -> jax.Array:
     return jnp.stack(outs)
 
 
+def _chunked_residue_acc(a_planes, b_planes, num_moduli, backend):
+    """K-chunked int32 residue accumulator: sum of per-chunk [0, p) partial
+    residues (exact; <= n_chunks * p < 2^31). Feeds either the XLA wrap
+    below or the fused Pallas epilogue directly (whose wrap accepts any
+    int32 magnitude)."""
+    mods = tables.moduli(backend)[:num_moduli]
+    k = a_planes.shape[2]
+    n_chunks = -(-k // K_CHUNK)
+    acc = None
+    for ci in range(n_chunks):
+        sl = slice(ci * K_CHUNK, min((ci + 1) * K_CHUNK, k))
+        c_hi = residue_matmul(a_planes[:, :, sl], b_planes[:, sl, :])
+        part = jnp.stack([c_hi[i] % p for i, p in enumerate(mods)])
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def residue_gemm(a_planes: jax.Array, b_planes: jax.Array,
                  num_moduli: int, backend: str) -> jax.Array:
     """Full-K exact residue GEMM -> wrapped C_mid (nu, m, n); int8 for the
@@ -66,13 +83,7 @@ def residue_gemm(a_planes: jax.Array, b_planes: jax.Array,
     if k <= K_CHUNK:
         return mod_reduce(residue_matmul(a_planes, b_planes), num_moduli, backend)
     mods = tables.moduli(backend)[:num_moduli]
-    n_chunks = -(-k // K_CHUNK)
-    acc = None
-    for ci in range(n_chunks):
-        sl = slice(ci * K_CHUNK, min((ci + 1) * K_CHUNK, k))
-        c_hi = residue_matmul(a_planes[:, :, sl], b_planes[:, sl, :])
-        part = jnp.stack([c_hi[i] % p for i, p in enumerate(mods)])
-        acc = part if acc is None else acc + part  # <= n_chunks * p, fits int32
+    acc = _chunked_residue_acc(a_planes, b_planes, num_moduli, backend)
     outs = []
     for i, p in enumerate(mods):
         r = acc[i] % p
@@ -188,9 +199,14 @@ def _emulated_product(a_planes, sft_a, b_planes, sft_b, num_moduli, backend,
         from . import pallas_kernels as pk
         m, k = a_planes.shape[1], a_planes.shape[2]
         n = b_planes.shape[2]
-        if (pk.epilogue_supported(num_moduli, backend, k)
-                and m % 128 == 0 and n % 128 == 0):
-            c_hi = residue_matmul(a_planes, b_planes)
+        if m % 128 == 0 and n % 128 == 0:
+            if k <= K_CHUNK:
+                c_hi = residue_matmul(a_planes, b_planes)
+            else:
+                # the fused kernel's wrap accepts any int32 magnitude, so
+                # the K-chunked residue accumulator feeds it directly
+                c_hi = _chunked_residue_acc(a_planes, b_planes, num_moduli,
+                                            backend)
             out_bits = 53 if out_dtype.itemsize == 8 else 24
             hi, lo = pk.fused_epilogue(c_hi, sft_a, sft_b, num_moduli,
                                        backend, out_bits)

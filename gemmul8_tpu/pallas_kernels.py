@@ -409,12 +409,6 @@ def fused_epilogue(c_hi, sft_a, sft_b, num_moduli: int, backend: str,
     )(sft_a.reshape(m, 1), sft_b.reshape(1, n), c_hi)
 
 
-def epilogue_supported(num_moduli: int, backend: str, k: int) -> bool:
-    """Gate for the fused epilogue: INT8 planes whose int32 dot is exact
-    (k <= 2^17; longer K takes the chunked residue-space path)."""
-    return backend == tables.Backend.INT8 and k <= (1 << 17)
-
-
 def _epilogue_kernel_cplx(sfta_ref, sftb_ref, chi_ref, hire_ref, lore_ref,
                           hiim_ref, loim_ref, *, num_moduli, mods, w2_16,
                           w16, p16, L, invp_top, base, descale):
