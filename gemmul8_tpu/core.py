@@ -425,7 +425,12 @@ def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
     Mirrors the reference's returned timer vector {scaling, low-prec GEMM,
     conv_hi2mid, inverse scaling} (gemmul8_real.hpp:67-68,122-204). Unlike the
     reference -- which stream-syncs inside the production path -- instrumentation
-    here is a separate entry point; gemm() itself never synchronizes."""
+    here is a separate entry point; gemm() itself never synchronizes.
+
+    Note: this entry times the UNFUSED stage decomposition for phase
+    introspection; the production TPU path fuses mod_reduce + crt_inverse
+    into one Pallas consumer of the matmul (faster than the sum of the
+    separated phases -- see BASELINE.md)."""
     import time
 
     q = jax.jit(functools.partial(_quantize_operands, num_moduli=num_moduli,
