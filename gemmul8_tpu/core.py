@@ -192,10 +192,31 @@ def _emulated_product(a_planes, sft_a, b_planes, sft_b, num_moduli, backend,
     the reference's one-buffer GEMM + conv_hi2mid interleave
     (gemmul8_real.hpp:144-191)."""
     out_dtype = jnp.dtype(out_dtype)
-    if (resolve_epilogue(epilogue) == "ff"
-            and jax.default_backend() != "cpu"
+    fused_ok = (resolve_epilogue(epilogue) == "ff"
+                and jax.default_backend() != "cpu"
+                and a_planes.ndim == 3)
+    if (fused_ok and backend == tables.Backend.FP8
+            and a_planes.dtype == jnp.bfloat16):
+        from . import fp8
+        from . import pallas_kernels as pk
+        m, k = a_planes.shape[1], a_planes.shape[2]
+        n = b_planes.shape[2]
+        if m % 128 == 0 and n % 128 == 0:
+            out_bits = 53 if out_dtype.itemsize == 8 else 24
+            if k <= fp8.K_CHUNK_FP8:
+                c3 = fp8._batched_dot(a_planes, b_planes)   # (3nu, m, n) f32
+                hi, lo = pk.fused_epilogue_fp8(c3, sft_a, sft_b, num_moduli,
+                                               out_bits)
+            else:
+                acc = fp8._chunked_residue_acc(a_planes, b_planes, num_moduli)
+                hi, lo = pk.fused_epilogue(acc, sft_a, sft_b, num_moduli,
+                                           backend, out_bits)
+            if out_bits == 24:
+                return (hi + lo).astype(out_dtype)
+            return hi.astype(out_dtype) + lo.astype(out_dtype)
+    if (fused_ok
             and backend == tables.Backend.INT8
-            and a_planes.ndim == 3 and a_planes.dtype == jnp.int8):
+            and a_planes.dtype == jnp.int8):
         from . import pallas_kernels as pk
         m, k = a_planes.shape[1], a_planes.shape[2]
         n = b_planes.shape[2]

@@ -148,16 +148,28 @@ def residue_gemm_fp8(a_planes: jax.Array, b_planes: jax.Array,
     if k <= K_CHUNK_FP8:
         c3 = _batched_dot(a3, b3).astype(jnp.int32)
         return _reassemble(c3, num_moduli).astype(jnp.int16)
-    n_chunks = -(-k // K_CHUNK_FP8)
-    acc = None
-    for ci in range(n_chunks):
-        sl = slice(ci * K_CHUNK_FP8, min((ci + 1) * K_CHUNK_FP8, k))
-        c3 = _batched_dot(a3[:, :, sl], b3[:, sl, :]).astype(jnp.int32)
-        part = _reassemble(c3, num_moduli)            # wrapped, |part| <= p/2
-        acc = part if acc is None else acc + part     # <= n_chunks*p/2: safe
+    acc = _chunked_residue_acc(a3, b3, num_moduli)
     outs = []
     for i, p in enumerate(mods):
         r = acc[i] % p
         r = jnp.where(2 * r >= p, r - p, r)
         outs.append(r.astype(jnp.int16))
     return jnp.stack(outs)
+
+
+def _chunked_residue_acc(a3: jax.Array, b3: jax.Array,
+                         num_moduli: int) -> jax.Array:
+    """K-chunked int32 residue accumulator for the FP8 backend: sums of
+    per-chunk wrapped residues (|part| <= p/2; <= n_chunks*p/2 < 2^31).
+    Feeds the final wrap in residue_gemm_fp8 or the fused Pallas epilogue
+    (whose wrap accepts any int32 magnitude). a3/b3 are the (3nu, ...)
+    GEMM-ready stacks."""
+    k = a3.shape[2]
+    n_chunks = -(-k // K_CHUNK_FP8)
+    acc = None
+    for ci in range(n_chunks):
+        sl = slice(ci * K_CHUNK_FP8, min((ci + 1) * K_CHUNK_FP8, k))
+        c3 = _batched_dot(a3[:, :, sl], b3[:, sl, :]).astype(jnp.int32)
+        part = _reassemble(c3, num_moduli)            # wrapped, |part| <= p/2
+        acc = part if acc is None else acc + part
+    return acc

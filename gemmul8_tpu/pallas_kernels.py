@@ -221,22 +221,38 @@ def encode_supported(x, num_moduli: int, backend: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _wrap_full(acc, p_int, w2, inv):
-    """wrap(acc mod p) for |acc| < 2^31 into [-p/2, p/2): two-stage fold so
-    the residual magnitude (< 2^23) is f32-exact, then one rint division
-    (Mosaic has no integer div/mod). p = 2^8 reduces to mask arithmetic."""
+def _wrap_full(acc, p_int, w2, inv, shift=16):
+    """wrap(acc mod p) for |acc| < 2^31 into [-p/2, p/2): fold the top bits
+    via wrap(2^shift mod p) so the residual magnitude is f32-exact, then one
+    rint division (Mosaic has no integer div/mod). shift = 16 for p <= 256
+    (|t| < 2^23); the FP8 moduli (p <= 1089) use shift = 20 (|t| < 2^22).
+    Powers of two reduce to mask arithmetic. Any correct route yields the
+    same unique representative, so fold choices never affect results."""
     i32 = np.int32
     p = i32(p_int)
-    if p_int == 256:
-        return ((acc + i32(128)) & i32(0xFF)) - i32(128)
-    acc_hi = jnp.right_shift(acc, i32(16))
-    acc_lo = acc - jnp.left_shift(acc_hi, i32(16))         # in [0, 2^16)
-    t = acc_hi * i32(w2) + acc_lo                          # |t| < 2^23
+    if p_int & (p_int - 1) == 0:
+        h = i32(p_int // 2)
+        return ((acc + h) & i32(p_int - 1)) - h
+    acc_hi = jnp.right_shift(acc, i32(shift))
+    acc_lo = acc - jnp.left_shift(acc_hi, i32(shift))      # in [0, 2^shift)
+    t = acc_hi * i32(w2) + acc_lo                          # f32-exact range
     q = jnp.rint(t.astype(jnp.float32) * np.float32(inv)).astype(jnp.int32)
     r = t - q * p
     r = jnp.where(r < i32(0), r + p, r)
     r = jnp.where(r >= p, r - p, r)
     r = jnp.where(i32(2) * r >= p, r - p, r)               # [-p/2, p/2)
+    return r
+
+
+def _mod_pos(x, p_int, inv):
+    """x mod p in [0, p) for f32-exact |x| (< 2^23): rint division + two
+    corrections."""
+    i32 = np.int32
+    p = i32(p_int)
+    q = jnp.rint(x.astype(jnp.float32) * np.float32(inv)).astype(jnp.int32)
+    r = x - q * p
+    r = jnp.where(r < i32(0), r + p, r)
+    r = jnp.where(r >= p, r - p, r)
     return r
 
 
@@ -251,7 +267,7 @@ def _crt_limbs_from_res(rs, w16, p16, L, invp_top, num_moduli):
         r = rs[i]
         for li in range(L):
             if w16[i][li]:
-                # |r * w16| <= 128 * 65535 < 2^23; nu-term sums < 2^27
+                # |r * w16| <= (p/2) * 65535 < 2^26; nu-term sums < 2^31
                 limbs[li] = limbs[li] + r * i32(w16[i][li])
     half = i32(1 << 15)
     for li in range(L - 1):
@@ -308,7 +324,7 @@ def _descale_emit(limbs, factors, descale, L):
 
 def _epilogue_kernel(sfta_ref, sftb_ref, chi_ref, hi_ref, lo_ref, *,
                      num_moduli, mods, w2_16, w16, p16, L, invp_top,
-                     base, descale):
+                     base, descale, shift=16):
     """One (BM, BN) tile: per-modulus wrap -> limb MACs -> carry -> quotient
     fold -> compensated descale. All integer steps exact in int32.
 
@@ -316,8 +332,8 @@ def _epilogue_kernel(sfta_ref, sftb_ref, chi_ref, hi_ref, lo_ref, *,
     p16[li] = 16-bit slice of P >> base; descale = (s1, s2) static per-limb
     power-of-two factor pair.
     """
-    rs = [_wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], 1.0 / mods[i])
-          for i in range(num_moduli)]
+    rs = [_wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], 1.0 / mods[i],
+                     shift) for i in range(num_moduli)]
     limbs = _crt_limbs_from_res(rs, w16, p16, L, invp_top, num_moduli)
     factors = _descale_factors(sfta_ref[:], sftb_ref[:])
     hi, lo = _descale_emit(limbs, factors, descale, L)
@@ -350,9 +366,10 @@ def _epilogue_plan(num_moduli: int, backend: str, out_bits: int):
         if 2 * li + 1 < n_cols:
             v += int(pcols[2 * li + 1]) << 8
         p16.append(v)
+    shift = 16 if backend == tables.Backend.INT8 else 20
     w2_16 = []
     for p in mods:
-        w = pow(2, 16, p)
+        w = pow(2, shift, p)
         w2_16.append(w - p if 2 * w >= p else w)
     descale = []
     for li in range(L):
@@ -360,7 +377,7 @@ def _epilogue_plan(num_moduli: int, backend: str, out_bits: int):
         descale.append((float(np.float32(2.0 ** (e // 2))),
                         float(np.float32(2.0 ** (e - e // 2)))))
     return (mods, tuple(w2_16), tuple(map(tuple, w16)), tuple(p16), L,
-            float(invp_top), base, tuple(descale))
+            float(invp_top), base, tuple(descale), shift)
 
 
 @functools.partial(jax.jit, static_argnames=("num_moduli", "backend",
@@ -373,7 +390,7 @@ def fused_epilogue(c_hi, sft_a, sft_b, num_moduli: int, backend: str,
 
     m, n must be multiples of 128 (callers pad-and-slice; core.emulate_matmul
     does this automatically)."""
-    mods, w2_16, w16, p16, L, invp_top, base, descale = _epilogue_plan(
+    mods, w2_16, w16, p16, L, invp_top, base, descale, shift = _epilogue_plan(
         num_moduli, backend, out_bits)
     m, n = c_hi.shape[1], c_hi.shape[2]
     # VMEM budget: double-buffered (nu, BM, BN) i32 input + L limb arrays
@@ -389,7 +406,8 @@ def fused_epilogue(c_hi, sft_a, sft_b, num_moduli: int, backend: str,
 
     kernel = functools.partial(
         _epilogue_kernel, num_moduli=num_moduli, mods=mods, w2_16=w2_16,
-        w16=w16, p16=p16, L=L, invp_top=invp_top, base=base, descale=descale)
+        w16=w16, p16=p16, L=L, invp_top=invp_top, base=base,
+        descale=descale, shift=shift)
     sfta_spec = pl.BlockSpec((bm, 1), lambda i, j: (i, j * 0),
                              memory_space=pltpu.VMEM)
     sftb_spec = pl.BlockSpec((1, bn), lambda i, j: (i * 0, j),
@@ -409,9 +427,108 @@ def fused_epilogue(c_hi, sft_a, sft_b, num_moduli: int, backend: str,
     )(sft_a.reshape(m, 1), sft_b.reshape(1, n), c_hi)
 
 
+def _wrap_bal(x, p_int, inv):
+    """Balanced wrap of an f32-exact-range int32 (|x| < 2^23) into
+    [-p/2, p/2): one rint division + two corrections."""
+    i32 = np.int32
+    p = i32(p_int)
+    q = jnp.rint(x.astype(jnp.float32) * np.float32(inv)).astype(jnp.int32)
+    r = x - q * p
+    r = jnp.where(i32(2) * r >= p, r - p, r)
+    r = jnp.where(i32(2) * r < -p, r + p, r)
+    return r
+
+
+def _epilogue_kernel_fp8(sfta_ref, sftb_ref, c3_ref, hi_ref, lo_ref, *,
+                         num_moduli, mods, w2_16, w16, p16, L, invp_top,
+                         base, descale, shift, sqrts, nk):
+    """FP8-backend variant: c3 is the (3*nu, BM, BN) f32 stack of the
+    e4m3-split lane products (exact integers, |.| <= 2^24). Per modulus,
+    the split products reassemble in residue space (sqrt pairing
+    q*(C0+C1)+C2 or Karatsuba 256*C0+16*(C2-C0-C1)+C1, reference:
+    mod.hpp:106-153) and the wrapped residues feed the same CRT limb
+    pipeline. Intermediates are wrapped balanced at every step so all
+    magnitudes stay f32-exact; residue classes are preserved, so the result
+    is bit-identical to fp8._reassemble + the unfused CRT chain."""
+    i32 = np.int32
+    rs = []
+    for i in range(num_moduli):
+        p = mods[i]
+        inv = 1.0 / p
+        c0 = c3_ref[3 * i + 0, :, :].astype(jnp.int32)
+        c1 = c3_ref[3 * i + 1, :, :].astype(jnp.int32)
+        c2 = c3_ref[3 * i + 2, :, :].astype(jnp.int32)
+        if i < nk:
+            # |c0 + c1| < 2^25: fold via _wrap_full, then the small combine
+            u = _wrap_full(c0 + c1, p, w2_16[i], inv, shift)
+            c2w = _wrap_full(c2, p, w2_16[i], inv, shift)
+            t0 = i32(sqrts[i]) * u + c2w          # |t0| < 2^15
+        else:
+            r0 = _wrap_full(c0, p, w2_16[i], inv, shift)
+            r1 = _wrap_full(c1, p, w2_16[i], inv, shift)
+            r2 = _wrap_full(c2, p, w2_16[i], inv, shift)
+            t0 = i32(256) * r0 + i32(16) * (r2 - r0 - r1) + r1  # |t0| < 2^18
+        rs.append(_wrap_bal(t0, p, inv))
+    limbs = _crt_limbs_from_res(rs, w16, p16, L, invp_top, num_moduli)
+    factors = _descale_factors(sfta_ref[:], sftb_ref[:])
+    hi, lo = _descale_emit(limbs, factors, descale, L)
+    hi_ref[:, :] = hi
+    lo_ref[:, :] = lo
+
+
+@functools.partial(jax.jit, static_argnames=("num_moduli", "out_bits"))
+def fused_epilogue_fp8(c3, sft_a, sft_b, num_moduli: int, out_bits: int):
+    """Pallas-fused FP8 epilogue: (3*nu, m, n) f32 lane products ->
+    (hi, lo) f32 pair. Bit-identical to fp8._reassemble -> mod_reduce ->
+    ff.reconstruct_scale_ff."""
+    from . import fp8 as fp8mod
+    backend = tables.Backend.FP8
+    mods, w2_16, w16, p16, L, invp_top, base, descale, shift = _epilogue_plan(
+        num_moduli, backend, out_bits)
+    sqrts = fp8mod._sqrt_moduli()[:min(num_moduli, tables.NOT_KARATSUBA)]
+    nk = min(num_moduli, tables.NOT_KARATSUBA)
+    m, n = c3.shape[1], c3.shape[2]
+    bm = bn = 256
+    bytes_per = (2 * 3 * num_moduli + L + 8) * 4
+    while bm * bn * bytes_per > 11 << 20 and (bm > 64 or bn > 128):
+        if bm >= bn and bm > 64:
+            bm //= 2
+        elif bn > 128:
+            bn //= 2
+        else:
+            break
+    bm = min(bm, m)
+    bn = min(bn, n)
+    if m % bm or n % bn:
+        bm = min(64, m)
+        bn = min(128, n)
+    grid = (m // bm, n // bn)
+    kernel = functools.partial(
+        _epilogue_kernel_fp8, num_moduli=num_moduli, mods=mods, w2_16=w2_16,
+        w16=w16, p16=p16, L=L, invp_top=invp_top, base=base, descale=descale,
+        shift=shift, sqrts=tuple(int(q) for q in sqrts), nk=nk)
+    out_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, 1), lambda i, j: (i, j * 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, bn), lambda i, j: (i * 0, j),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3 * num_moduli, bm, bn),
+                               lambda i, j: (i * 0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((m, n), jnp.float32),
+                   jax.ShapeDtypeStruct((m, n), jnp.float32)],
+        interpret=jax.default_backend() == "cpu",
+    )(sft_a.reshape(m, 1), sft_b.reshape(1, n), c3)
+
+
 def _epilogue_kernel_cplx(sfta_ref, sftb_ref, chi_ref, hire_ref, lore_ref,
                           hiim_ref, loim_ref, *, num_moduli, mods, w2_16,
-                          w16, p16, L, invp_top, base, descale):
+                          w16, p16, L, invp_top, base, descale, shift=16):
     """Complex 3M variant: chi is the (3*nu, BM, BN) stack of lane products
     (Crr planes, then Cii, then Crii). Per modulus, wrap the three lane
     sums, recombine in residue space (Re = Crr - Cii, Im = Crii - Crr - Cii,
@@ -423,10 +540,11 @@ def _epilogue_kernel_cplx(sfta_ref, sftb_ref, chi_ref, hire_ref, lore_ref,
     for i in range(num_moduli):
         p = i32(mods[i])
         inv = 1.0 / mods[i]
-        crr = _wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], inv)
-        cii = _wrap_full(chi_ref[num_moduli + i, :, :], mods[i], w2_16[i], inv)
+        crr = _wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], inv, shift)
+        cii = _wrap_full(chi_ref[num_moduli + i, :, :], mods[i], w2_16[i],
+                         inv, shift)
         cri = _wrap_full(chi_ref[2 * num_moduli + i, :, :], mods[i],
-                         w2_16[i], inv)
+                         w2_16[i], inv, shift)
         re = crr - cii                                    # in (-p, p)
         re = jnp.where(i32(2) * re >= p, re - p, re)
         re = jnp.where(i32(2) * re < -p, re + p, re)
@@ -455,7 +573,7 @@ def fused_epilogue_complex(c_hi3, sft_a, sft_b, num_moduli: int, backend: str,
     """Pallas-fused complex epilogue: (3*nu, m, n) int32 lane products
     (Crr | Cii | Crii blocks) -> (hi_re, lo_re, hi_im, lo_im) f32.
     Bit-identical to mod_reduce + _recombine_3m + 2x reconstruct_scale_ff."""
-    mods, w2_16, w16, p16, L, invp_top, base, descale = _epilogue_plan(
+    mods, w2_16, w16, p16, L, invp_top, base, descale, shift = _epilogue_plan(
         num_moduli, backend, out_bits)
     m, n = c_hi3.shape[1], c_hi3.shape[2]
     bm = bn = 256
@@ -476,7 +594,7 @@ def fused_epilogue_complex(c_hi3, sft_a, sft_b, num_moduli: int, backend: str,
     kernel = functools.partial(
         _epilogue_kernel_cplx, num_moduli=num_moduli, mods=mods,
         w2_16=w2_16, w16=w16, p16=p16, L=L, invp_top=invp_top, base=base,
-        descale=descale)
+        descale=descale, shift=shift)
     out_spec = pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(

@@ -296,3 +296,43 @@ def test_fused_complex_epilogue_bit_identity():
                 fused = hi.astype(dt) + lo.astype(dt)
             iv = jnp.int64 if out_bits == 53 else jnp.int32
             assert bool(jnp.all(fused.view(iv) == ref.view(iv))), (nu, out_bits)
+
+
+def test_fused_fp8_epilogue_bit_identity():
+    """The FP8 fused epilogue (lane reassembly + CRT + descale in one
+    kernel) must be bit-identical to fp8._reassemble + the unfused chain."""
+    from gemmul8_tpu import ff, fp8
+    from gemmul8_tpu import pallas_kernels as pk
+
+    rng = np.random.default_rng(51)
+    for nu, out_bits, dt in [(10, 53, jnp.float64), (6, 24, jnp.float32),
+                             (13, 53, jnp.float64)]:
+        m = n = k = 128
+        a = jnp.asarray(rng.standard_normal((m, k)), dt)
+        b = jnp.asarray(rng.standard_normal((k, n)), dt)
+        sa = quantize.shift_fast(a, nu, "FP8", reduce_axis=1)
+        sb = quantize.shift_fast(b, nu, "FP8", reduce_axis=0)
+        pa = quantize.encode_planes(a, sa, 0, nu, "FP8")
+        pb = quantize.encode_planes(b, sb, 1, nu, "FP8")
+        a3 = pa if pa.ndim == 3 else fp8._gemm_stack(pa, nu, "lhs")
+        b3 = pb if pb.ndim == 3 else fp8._gemm_stack(pb, nu, "rhs")
+        c3 = fp8._batched_dot(a3, b3)
+        hi, lo = pk.fused_epilogue_fp8(c3, sa, sb, nu, out_bits)
+        fused = ((hi + lo).astype(dt) if out_bits == 24
+                 else hi.astype(dt) + lo.astype(dt))
+        c_mid = fp8._reassemble(c3.astype(jnp.int32), nu).astype(jnp.int16)
+        limbs, base = ff.crt_limbs_matrix(c_mid, nu, "FP8", out_bits)
+        ref = ff.descale_accel(limbs, base, 16, sa, sb, out_bits, dt)
+        iv = jnp.int64 if out_bits == 53 else jnp.int32
+        assert bool(jnp.all(fused.view(iv) == ref.view(iv))), (nu, out_bits)
+
+
+def test_fp8_big_k_chunked_acc():
+    """FP8 K > 2^16: the chunked residue accumulator path must stay exact."""
+    rng = np.random.default_rng(52)
+    k = (1 << 16) + 512
+    a = jnp.asarray(rng.standard_normal((8, k)))
+    b = jnp.asarray(rng.standard_normal((k, 8)))
+    c = core.gemm(a, b, num_moduli=12, backend="FP8")
+    ref = np.asarray(a) @ np.asarray(b)
+    assert np.max(np.abs(np.asarray(c) - ref) / np.abs(ref)) < 1e-9
