@@ -219,6 +219,14 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
     sft_a, sft_b = _dist_shifts(a_blk, b_blk, num_moduli, fastmode, backend)
     pa = quantize.encode_planes(a_blk, sft_a, 0, num_moduli, backend)
     pb = quantize.encode_planes(b_blk, sft_b, 1, num_moduli, backend)
+    if backend == tables.Backend.FP8:
+        # normalize to the (3*nu, ..) GEMM-ready stacks (the Pallas FP8
+        # encoder emits them directly; the jnp path gives canonical 4-D)
+        from .. import fp8
+        if pa.ndim == 4:
+            pa = fp8._gemm_stack(pa, num_moduli, "lhs")
+            pb = fp8._gemm_stack(pb, num_moduli, "rhs")
+    planes = pa.shape[0]                   # nu (INT8) or 3*nu (FP8)
     m_loc = pa.shape[1]
     n_loc = pb.shape[2]
     k_y = k // y_size                      # local A panel width
@@ -231,10 +239,10 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
     def bcast(t):
         a_pan = _bcast_panel(pa, "y", (t * w) // k_y,
                              t * w - ((t * w) // k_y) * k_y,
-                             (num_moduli, m_loc, w), 2)
+                             (planes, m_loc, w), 2)
         b_pan = _bcast_panel(pb, "x", (t * w) // k_x,
                              t * w - ((t * w) // k_x) * k_x,
-                             (num_moduli, w, n_loc), 1)
+                             (planes, w, n_loc), 1)
         return a_pan, b_pan
 
     def body(t, carry):
@@ -242,15 +250,22 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
         # prefetch the next panel first: independent of this step's dot, so
         # the compiler is free to overlap the collectives with the MXU work
         nxt = bcast(jnp.minimum(t + 1, steps - 1))
-        part = core.residue_matmul(ap, bp)          # exact: w <= 2^17
-        acc = acc + part % mods                     # residues add mod p
+        if backend == tables.Backend.FP8:
+            from .. import fp8
+            c3 = fp8._batched_dot(ap, bp).astype(jnp.int32)
+            part = fp8._reassemble(c3, num_moduli)  # wrapped, |.| <= p/2
+            acc = acc + part                        # <= steps*p/2: exact
+        else:
+            part = core.residue_matmul(ap, bp)      # exact: w <= 2^17
+            acc = acc + part % mods                 # residues add mod p
         return (acc, *nxt)
 
     a0, b0 = bcast(jnp.int32(0))
     acc0 = jnp.zeros((num_moduli, m_loc, n_loc), jnp.int32)
     acc, _, _ = jax.lax.fori_loop(0, steps, body, (acc0, a0, b0))
     r = acc % mods                                  # steps*p/2 < 2^31 always
-    c_mid = jnp.where(2 * r >= mods, r - mods, r).astype(jnp.int8)
+    mid_t = jnp.int8 if backend == tables.Backend.INT8 else jnp.int16
+    c_mid = jnp.where(2 * r >= mods, r - mods, r).astype(mid_t)
     return core.reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
                                   a_blk.dtype, epilogue)
 
@@ -289,15 +304,15 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
     x_size, y_size = mesh.devices.shape
     k = a.shape[1]
     if k_panel is not None:
-        if backend != tables.Backend.INT8:
-            raise NotImplementedError(
-                "k_panel streaming currently supports the INT8 backend")
         if k % k_panel or (k // x_size) % k_panel or (k // y_size) % k_panel:
             raise ValueError(
                 f"k_panel={k_panel} must divide k/mesh.x={k // x_size} "
                 f"and k/mesh.y={k // y_size}")
-        if k_panel > (1 << 17):
-            raise ValueError("k_panel must be <= 2^17 (int32 exactness)")
+        k_lim = 17 if backend == tables.Backend.INT8 else 16
+        if k_panel > (1 << k_lim):
+            raise ValueError(
+                f"k_panel must be <= 2^{k_lim} for {backend} "
+                "(exact accumulation of panel products)")
         body = functools.partial(
             _summa_stream_local, num_moduli=num_moduli, fastmode=fastmode,
             backend=backend, epilogue=epilogue, k_panel=k_panel, k=k,

@@ -135,9 +135,23 @@ def test_summa_stream_validation():
     b = jnp.zeros((24, 16))
     with pytest.raises(ValueError, match="k_panel"):
         summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=8, k_panel=5)
-    with pytest.raises(NotImplementedError):
-        summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=8, k_panel=6,
-                   backend="FP8")
+
+
+def test_summa_stream_fp8():
+    """FP8-backend streaming: bf16 lane-plane panel broadcasts + per-panel
+    reassembly, bit-identical to the FP8 gather path across meshes."""
+    m = n = 32
+    k = 48
+    a = jnp.asarray(phi_matrix(RNG, m, k, 0.5))
+    b = jnp.asarray(phi_matrix(RNG, k, n, 0.5))
+    g = np.asarray(summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=8,
+                              backend="FP8"))
+    s = np.asarray(summa_gemm(a, b, mesh=mesh_of(2, 4), num_moduli=8,
+                              backend="FP8", k_panel=6))
+    s81 = np.asarray(summa_gemm(a, b, mesh=mesh_of(8, 1), num_moduli=8,
+                                backend="FP8", k_panel=6))
+    np.testing.assert_array_equal(g, s)
+    np.testing.assert_array_equal(g, s81)
 
 
 def test_summa_accurate_mode():
