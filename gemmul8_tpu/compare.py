@@ -102,18 +102,24 @@ def matmul_os1_int8(a: jax.Array, b: jax.Array, d: int = 8) -> jax.Array:
     Eb = _row_scale_exp(b, 0)
     sa = _slices_int8(a, Ea, 1, d)                  # (d, m, k)
     sb = _slices_int8(b, Eb, 0, d)                  # (d, k, n)
-    # all pairs with s + t < d, as one batched int8 dot
-    pairs = [(s, t) for tot in range(d - 1, -1, -1)
-             for s in range(tot + 1) for t in [tot - s]]
-    lhs = jnp.stack([sa[s] for s, _ in pairs])
-    rhs = jnp.stack([sb[t] for _, t in pairs])
-    prods = jax.lax.dot_general(
-        lhs, rhs, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.int32)           # (P, m, n), exact
+    # pairs with s + t < d, batched PER ANTI-DIAGONAL (s + t = tot): bounds
+    # peak int32 product memory at d * m * n * 4 instead of materializing
+    # all d(d+1)/2 products at once (which OOMs large shapes); the combine
+    # stays smallest-magnitude-first and deterministic
     out = None
-    for idx, (s, t) in enumerate(pairs):            # smallest first
-        term = quantize.pow2_scale(prods[idx].astype(out_dtype),
-                                   jnp.int32(-_W * (s + t + 2)))
+    for tot in range(d - 1, -1, -1):                # smallest first
+        lhs = jnp.stack([sa[s] for s in range(tot + 1)])
+        rhs = jnp.stack([sb[tot - s] for s in range(tot + 1)])
+        prods = jax.lax.dot_general(
+            lhs, rhs, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)       # (tot+1, m, n), exact
+        # same total => same scale: combine the diagonal in the output
+        # dtype in a fixed order (int32 would overflow for k near 2^17)
+        group = None
+        for s in range(tot + 1):
+            g = prods[s].astype(out_dtype)
+            group = g if group is None else group + g
+        term = quantize.pow2_scale(group, jnp.int32(-_W * (tot + 2)))
         out = term if out is None else out + term
     scale = Ea[:, None] + Eb[None, :]
     return quantize.pow2_scale(out, scale)
