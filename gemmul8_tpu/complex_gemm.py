@@ -163,6 +163,9 @@ def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
     bit-identical to the unfused chain."""
     real_dt = ar.dtype
     m, n = ar.shape[0], br.shape[1]
+    if ar.shape[1] == 0:
+        # BLAS k=0 semantics: the product is zero
+        return jnp.zeros((m, n), real_dt), jnp.zeros((m, n), real_dt)
     if jax.default_backend() != "cpu":
         ar = core._pad128(ar, (0, 1))
         ai = core._pad128(ai, (0, 1))

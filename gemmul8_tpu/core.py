@@ -265,6 +265,10 @@ def emulate_matmul(a: jax.Array, b: jax.Array, *, num_moduli: int,
     sliced back -- bit-identical to the unpadded math."""
     out_dtype = a.dtype
     m, n = a.shape[0], b.shape[1]
+    if a.shape[1] == 0:
+        # BLAS k=0 semantics: the product is zero (the shift/encode
+        # reductions have no identity over an empty axis)
+        return jnp.zeros((m, n), out_dtype)
     if jax.default_backend() != "cpu":
         a = _pad128(a, (0, 1))
         b = _pad128(b, (0, 1))

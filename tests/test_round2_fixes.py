@@ -336,3 +336,15 @@ def test_fp8_big_k_chunked_acc():
     c = core.gemm(a, b, num_moduli=12, backend="FP8")
     ref = np.asarray(a) @ np.asarray(b)
     assert np.max(np.abs(np.asarray(c) - ref) / np.abs(ref)) < 1e-9
+
+
+def test_empty_k_blas_semantics():
+    """k = 0 must return the zero product (BLAS semantics), not an opaque
+    empty-reduction error; empty m/n dims pass through."""
+    c = core.gemm(jnp.zeros((3, 0)), jnp.zeros((0, 2)), num_moduli=8)
+    np.testing.assert_array_equal(np.asarray(c), np.zeros((3, 2)))
+    cz = core.gemm(jnp.zeros((3, 0), jnp.complex128),
+                   jnp.zeros((0, 2), jnp.complex128), num_moduli=8)
+    np.testing.assert_array_equal(np.asarray(cz), np.zeros((3, 2)))
+    c0 = core.gemm(jnp.zeros((0, 4)), jnp.zeros((4, 3)), num_moduli=8)
+    assert c0.shape == (0, 3)
