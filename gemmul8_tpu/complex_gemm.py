@@ -61,11 +61,13 @@ def _quantize_complex(re, im, sft, scale_axis, num_moduli, backend, conj):
     return jax.vmap(lambda r: fp8.split_planes(r, num_moduli))(lanes)
 
 
-def _shift_complex_fast(re, im, num_moduli, backend, reduce_axis):
+def _shift_complex_fast(re, im, num_moduli, backend, reduce_axis,
+                        variant="reference"):
     """Shared shift from the lane-stacked array: amax = max(|re|,|im|) and
     norm^2 = sum(re^2 + im^2), exactly the reference's complex reduction."""
     stacked = jnp.concatenate([re, im], axis=reduce_axis)
-    return quantize.shift_fast(stacked, num_moduli, backend, reduce_axis)
+    return quantize.shift_fast(stacked, num_moduli, backend, reduce_axis,
+                               variant=variant)
 
 
 def _recombine_3m(mids, num_moduli, backend):
@@ -173,8 +175,11 @@ def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
         bi = core._pad128(bi, (0, 1))
 
     if fastmode:
-        sft_a = _shift_complex_fast(ar, ai, num_moduli, backend, reduce_axis=1)
-        sft_b = _shift_complex_fast(br, bi, num_moduli, backend, reduce_axis=0)
+        var = "invariant" if fastmode == "robust" else "reference"
+        sft_a = _shift_complex_fast(ar, ai, num_moduli, backend,
+                                    reduce_axis=1, variant=var)
+        sft_b = _shift_complex_fast(br, bi, num_moduli, backend,
+                                    reduce_axis=0, variant=var)
     else:
         sft_a, sft_b = _shift_complex_accu(ar, ai, br, bi, num_moduli, backend)
 

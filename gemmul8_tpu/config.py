@@ -5,7 +5,8 @@ Env vars (read at call time from Python; unlike the CUDA hook these affect only
 calls made after a change because config participates in jit static args):
 
   GEMMUL8_NUM_MOD_S / _D / _C / _Z : num_moduli per dtype (f32/f64/c64/c128)
-  GEMMUL8_FASTMODE_S / _D / _C / _Z: 1 = fast (norm-based shifts), 0 = accurate
+  GEMMUL8_FASTMODE_S / _D / _C / _Z: 1 = fast (norm-based shifts), 0 = accurate,
+                                     2|robust = scale-invariant fast shifts
   GEMMUL8_BACKEND                  : INT8 (default) or FP8
   GEMMUL8_EPILOGUE                 : auto (default) | ff | f64
 """
@@ -26,7 +27,7 @@ NATIVE_FALLTHROUGH = 0
 @dataclasses.dataclass(frozen=True)
 class GemmConfig:
     num_moduli: int = 8
-    fastmode: bool = True
+    fastmode: bool | str = True
     backend: str = tables.Backend.INT8
     epilogue: str = "auto"
 
@@ -46,9 +47,17 @@ def env_config(dtype_name: str) -> GemmConfig | None:
     if nm is None:
         return None
     nm = int(nm)
+    fm_raw = os.environ.get(f"GEMMUL8_FASTMODE_{sfx}", "1").lower()
+    fastmode: bool | str
+    if fm_raw in ("0", "false"):
+        fastmode = False
+    elif fm_raw in ("2", "robust"):
+        fastmode = "robust"
+    else:
+        fastmode = True
     cfg = GemmConfig(
         num_moduli=nm,
-        fastmode=os.environ.get(f"GEMMUL8_FASTMODE_{sfx}", "1") not in ("0", "false"),
+        fastmode=fastmode,
         backend=os.environ.get("GEMMUL8_BACKEND", tables.Backend.INT8).upper(),
         epilogue=os.environ.get("GEMMUL8_EPILOGUE", "auto").lower(),
     )

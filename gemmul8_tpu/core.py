@@ -141,11 +141,16 @@ def inverse_scale(t: jax.Array, sft_a: jax.Array, sft_b: jax.Array,
 
 def _quantize_operands(a, b, num_moduli, fastmode, backend):
     """Fast mode: independent norm-based shifts (scaling_fast_real.hpp).
-    Accurate mode: one extra int8 GEMM of 6-bit upper-bound extracts to estimate
-    the product magnitude per row/col (scaling_accu_real.hpp)."""
+    fastmode="robust": the scale-invariant fast shift (safe at any operand
+    scale; see quantize.shift_fast). Accurate mode: one extra int8 GEMM of
+    6-bit upper-bound extracts to estimate the product magnitude per
+    row/col (scaling_accu_real.hpp)."""
     if fastmode:
-        sft_a = quantize.shift_fast(a, num_moduli, backend, reduce_axis=1)
-        sft_b = quantize.shift_fast(b, num_moduli, backend, reduce_axis=0)
+        var = "invariant" if fastmode == "robust" else "reference"
+        sft_a = quantize.shift_fast(a, num_moduli, backend, reduce_axis=1,
+                                    variant=var)
+        sft_b = quantize.shift_fast(b, num_moduli, backend, reduce_axis=0,
+                                    variant=var)
     else:
         ub_a, pre_a = quantize.extract_ub_plane(a, backend, scale_axis=0)
         ub_b, pre_b = quantize.extract_ub_plane(b, backend, scale_axis=1)
@@ -372,7 +377,9 @@ def _syrk(a, *, num_moduli, fastmode, backend, trans, epilogue):
     # SAME shifts and the same quantized integers, so the rhs planes are a
     # transpose view of the lhs planes (no second quantization pass)
     if fastmode:
-        sft = quantize.shift_fast(a, num_moduli, backend, reduce_axis=1)
+        sft = quantize.shift_fast(
+            a, num_moduli, backend, reduce_axis=1,
+            variant="invariant" if fastmode == "robust" else "reference")
     else:
         ub, pre = quantize.extract_ub_plane(a, backend, scale_axis=0)
         ub_t = jnp.swapaxes(ub, 0, 1)

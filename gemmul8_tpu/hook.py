@@ -160,7 +160,7 @@ def _emulated_dot_general(lhs, rhs, dimension_numbers, cfg: config.GemmConfig):
     lhs3, rhs3, out_shape = _canonicalize(lhs, rhs, dimension_numbers)
     is_cplx = bool(jnp.issubdtype(lhs.dtype, jnp.complexfloating))
     eager = not isinstance(lhs, jax.core.Tracer)         and not isinstance(rhs, jax.core.Tracer)
-    if (eager and cfg.fastmode and not is_cplx and lhs3.shape[0] == 1
+    if (eager and cfg.fastmode is True and not is_cplx and lhs3.shape[0] == 1
             and os.environ.get("GEMMUL8_EAGER_CACHE", "1") not in ("0", "false")):
         (lc, rc), (lb, rb) = dimension_numbers
         canon_l = (tuple(lc), tuple(lb))
@@ -238,7 +238,7 @@ def _eager_matmul_wrapper(orig):
                     not in ("0", "false")):
                 cfg = st.overrides if st.overrides is not None \
                     else config.env_config(dt)
-                if cfg is not None and cfg.fastmode and cfg.validate(dt):
+                if cfg is not None and cfg.fastmode is True and cfg.validate(dt):
                     st.depth += 1
                     try:
                         return _emulated_dot_general(

@@ -58,13 +58,15 @@ def _ilogb_pmax(ax, reduce_axis, axis_name):
     return quantize.ilogb(safe), amax
 
 
-def _shift_fast_dist(x, num_moduli, backend, reduce_axis, axis_name):
+def _shift_fast_dist(x, num_moduli, backend, reduce_axis, axis_name,
+                     variant="reference"):
     """Distributed fast-mode shift: identical bits for ANY sharding of the
     reduced axis. amax via pmax (exact); norm via fixed-point integer psum
     (associative, order-free), replacing the float sum of quantize.shift_fast.
     Like quantize.shift_fast, the norm math runs in f32 on the leading f32
     component (fast + bit-identical everywhere), with conservative tail
-    inflation so the anti-overflow guarantee holds."""
+    inflation so the anti-overflow guarantee holds. variant="invariant" is
+    the scale-invariant robust fast shift (see quantize.shift_fast)."""
     if x.dtype != jnp.float32 and jax.default_backend() == "cpu":
         # guard the f32 downcast against |x| > f32max (same fix as
         # quantize.shift_fast): prescale overflowing rows by an exact power
@@ -106,9 +108,15 @@ def _shift_fast_dist(x, num_moduli, backend, reduce_axis, axis_name):
                 + np.float32(2.0 ** -18))   # tail inflation
     log2vnrm = np.float32(quantize.LOG2_HALF_RU) * log2vsum
     log2p = np.float32(tables.log2P(num_moduli, backend))
-    exp1 = (log2p - np.float32(1.5) - jnp.maximum(np.float32(1.0), log2vnrm)
-            - np.float32(quantize.SFT_MARGIN))
-    sft = jnp.floor(exp1).astype(jnp.int32) - E
+    if variant == "invariant":
+        exp1 = (log2p - np.float32(1.5) - log2vnrm
+                - np.float32(quantize.SFT_MARGIN))
+        sft = jnp.floor(exp1).astype(jnp.int32)
+    else:
+        exp1 = (log2p - np.float32(1.5)
+                - jnp.maximum(np.float32(1.0), log2vnrm)
+                - np.float32(quantize.SFT_MARGIN))
+        sft = jnp.floor(exp1).astype(jnp.int32) - E
     return jnp.where(amax0 > 0, sft, jnp.int32(0))
 
 
@@ -165,8 +173,11 @@ def _shift_accu_dist(a_blk, b_blk, num_moduli, backend):
 
 def _dist_shifts(a_blk, b_blk, num_moduli, fastmode, backend):
     if fastmode:
-        sft_a = _shift_fast_dist(a_blk, num_moduli, backend, 1, "y")
-        sft_b = _shift_fast_dist(b_blk, num_moduli, backend, 0, "x")
+        var = "invariant" if fastmode == "robust" else "reference"
+        sft_a = _shift_fast_dist(a_blk, num_moduli, backend, 1, "y",
+                                 variant=var)
+        sft_b = _shift_fast_dist(b_blk, num_moduli, backend, 0, "x",
+                                 variant=var)
         return sft_a, sft_b
     return _shift_accu_dist(a_blk, b_blk, num_moduli, backend)
 

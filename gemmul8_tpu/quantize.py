@@ -116,9 +116,27 @@ def ilogb(a: jax.Array) -> jax.Array:
 # shift computation (fast mode)  [reference: scaling_fast_real.hpp:6-22]
 # ---------------------------------------------------------------------------
 
-def shift_fast(x: jax.Array, num_moduli: int, backend: str, reduce_axis: int) -> jax.Array:
-    """Per-row (reduce_axis=1) or per-column (reduce_axis=0) quantization shift:
-    sft = floor(log2P - 1.5 - max(1, ~0.5*log2(sum x^2))) - ilogb(amax).
+def shift_fast(x: jax.Array, num_moduli: int, backend: str, reduce_axis: int,
+               variant: str = "reference") -> jax.Array:
+    """Per-row (reduce_axis=1) or per-column (reduce_axis=0) quantization shift.
+
+    variant="reference" (default): the reference formula
+    (scaling_fast_real.hpp:6-22),
+        sft = floor(log2P - 1.5 - max(1, ~0.5*log2(sum x^2))) - ilogb(amax).
+    Its -ilogb(amax) term makes the quantized-norm budget SCALE-DEPENDENT:
+    ||v|| = 2^(log2P' - 1.5 - ilogb(amax)), which over-captures for
+    sub-unit-amax rows. For adversarial inputs (e.g. all-positive operands
+    uniformly scaled by 1e-6) the k-sum then exceeds P/2 and the CRT wraps
+    -- a catastrophic silent failure the reference shares.
+
+    variant="invariant" (fastmode="robust" at the API): drop the amax term,
+        sft = floor(log2P' - 1.5 - ~0.5*log2(sum x^2)),
+    giving ||v|| <= 2^(log2P' - 1.5) for ANY data, so by Cauchy-Schwarz
+    |sum v_a v_b| <= 2^(2*log2P' - 3) <= P/16 rigorously, at every scale --
+    and it captures ilogb(amax) MORE bits than the reference on rows with
+    amax > 1. Single pass, same cost. (The spirit of the literature's
+    "improved scaling for fast mode of Ozaki scheme II".)
+
     Returns int32 of shape x.shape without reduce_axis; zero rows get sft=0."""
     # The norm/amax math runs in f32 on the leading f32 component of x plus a
     # conservative inflation covering the discarded tail: the shift only
@@ -159,9 +177,14 @@ def shift_fast(x: jax.Array, num_moduli: int, backend: str, reduce_axis: int) ->
                 + np.float32(2.0 ** -18))   # round-up analog for the tail
     log2vnrm = np.float32(LOG2_HALF_RU) * log2vsum
     log2p = np.float32(tables.log2P(num_moduli, backend))
-    exp1 = (log2p - np.float32(1.5) - jnp.maximum(np.float32(1.0), log2vnrm)
-            - np.float32(SFT_MARGIN))
-    sft = jnp.floor(exp1).astype(jnp.int32) - E
+    if variant == "invariant":
+        exp1 = (log2p - np.float32(1.5) - log2vnrm - np.float32(SFT_MARGIN))
+        sft = jnp.floor(exp1).astype(jnp.int32)
+    else:
+        exp1 = (log2p - np.float32(1.5)
+                - jnp.maximum(np.float32(1.0), log2vnrm)
+                - np.float32(SFT_MARGIN))
+        sft = jnp.floor(exp1).astype(jnp.int32) - E
     return jnp.where(amax0 > 0, sft, jnp.int32(0))
 
 

@@ -348,3 +348,69 @@ def test_empty_k_blas_semantics():
     np.testing.assert_array_equal(np.asarray(cz), np.zeros((3, 2)))
     c0 = core.gemm(jnp.zeros((0, 4)), jnp.zeros((4, 3)), num_moduli=8)
     assert c0.shape == (0, 3)
+
+
+def test_robust_fastmode():
+    """fastmode="robust": the scale-invariant fast shift. Must (a) fix the
+    reference formula's catastrophic corners (all-positive small-scale and
+    large-scale operands overflow the CRT budget and wrap silently -- a
+    failure the reference shares), (b) beat reference fast mode on
+    exponent-spread (phi) data, (c) stay bit-reproducible and available on
+    the distributed path."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from oracle import phi_matrix
+
+    rng = np.random.default_rng(61)
+    k = 1024
+    # (a) catastrophic corner: all-positive * 1e-6
+    A = rng.random((24, k)) * 1e-6
+    B = rng.random((k, 24)) * 1e-6
+    a, b = jnp.asarray(A), jnp.asarray(B)
+    ref = A @ B
+    e_ref = np.max(np.abs(np.asarray(core.gemm(a, b, num_moduli=12)) - ref)
+                   / np.abs(ref))
+    e_rob = np.max(np.abs(np.asarray(core.gemm(a, b, num_moduli=12,
+                                               fastmode="robust")) - ref)
+                   / np.abs(ref))
+    assert e_ref > 1e-2          # the reference formula really does fail here
+    assert e_rob < 1e-9
+
+    # (b) phi-spread data: robust at least as accurate
+    A = phi_matrix(rng, 48, k, 2.0)
+    B = phi_matrix(rng, k, 48, 2.0)
+    a, b = jnp.asarray(A), jnp.asarray(B)
+    ref = np.asarray(A, np.longdouble) @ np.asarray(B, np.longdouble)
+    e_ref = np.max(np.abs(np.asarray(core.gemm(a, b, num_moduli=12)) - ref)
+                   / np.abs(ref))
+    e_rob = np.max(np.abs(np.asarray(core.gemm(a, b, num_moduli=12,
+                                               fastmode="robust")) - ref)
+                   / np.abs(ref))
+    assert e_rob <= e_ref
+
+    # (c) reproducible; distributed path bit-identical across meshes
+    c1 = np.asarray(core.gemm(a, b, num_moduli=12, fastmode="robust"))
+    c2 = np.asarray(core.gemm(a, b, num_moduli=12, fastmode="robust"))
+    np.testing.assert_array_equal(c1, c2)
+    from jax.sharding import Mesh
+    devs = np.asarray(jax.devices())
+    if len(devs) >= 8:
+        from gemmul8_tpu.parallel import summa_gemm
+        m24 = Mesh(devs[:8].reshape(2, 4), ("x", "y"))
+        m11 = Mesh(devs[:1].reshape(1, 1), ("x", "y"))
+        d24 = np.asarray(summa_gemm(a, b, mesh=m24, num_moduli=12,
+                                    fastmode="robust"))
+        d11 = np.asarray(summa_gemm(a, b, mesh=m11, num_moduli=12,
+                                    fastmode="robust"))
+        np.testing.assert_array_equal(d24, d11)
+
+    # env plumbing: GEMMUL8_FASTMODE_D=robust parses
+    from gemmul8_tpu import config
+    os.environ["GEMMUL8_NUM_MOD_D"] = "12"
+    os.environ["GEMMUL8_FASTMODE_D"] = "robust"
+    try:
+        cfg = config.env_config("float64")
+        assert cfg.fastmode == "robust"
+    finally:
+        del os.environ["GEMMUL8_NUM_MOD_D"]
+        del os.environ["GEMMUL8_FASTMODE_D"]
