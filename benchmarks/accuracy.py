@@ -102,6 +102,13 @@ def main():
                 rows_out.append([k, phi, f"oz2-{'fast' if args.fast else 'accu'}",
                                  nu, emax, emed])
                 print(f"k={k} phi={phi} nu={nu}: {emax:.3e}", file=sys.stderr)
+                if args.fast:
+                    # the scale-invariant fast variant next to the
+                    # reference-formula row
+                    cr = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b),
+                                            num_moduli=nu, fastmode="robust"))
+                    rmax, rmed = errs(cr, ref)
+                    rows_out.append([k, phi, "oz2-robust", nu, rmax, rmed])
 
     with open(out, "w", newline="") as f:
         w = csv.writer(f)
