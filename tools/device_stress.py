@@ -40,7 +40,7 @@ def main():
         lo, hi = tables.VALID_RANGE[name]
         backend = str(rng.choice(["INT8", "INT8", "INT8", "FP8"]))
         nu = int(rng.integers(max(lo, 4), hi + 1))
-        fast = bool(rng.integers(0, 2))
+        fast = [True, False, "robust"][int(rng.integers(0, 3))]
         m, k, n = (int(rng.integers(8, 400)) for _ in range(3))
         op_a = str(rng.choice(["N", "T"]))
         op_b = str(rng.choice(["N", "T"]))
@@ -76,7 +76,7 @@ def main():
         ok = err < tol and np.isfinite(out).all()
         status = "ok " if ok else "FAIL"
         print(f"[{t:03d}] {status} {name} {backend} nu={nu:2d} "
-              f"fast={int(fast)} ({m},{k},{n}) {op_a}{op_b} "
+              f"fast={fast} ({m},{k},{n}) {op_a}{op_b} "
               f"a={alpha} b={beta} phi={phi}: err={err:.2e} tol={tol:.2e}",
               file=sys.stderr)
         failures += not ok
