@@ -7,15 +7,15 @@ JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md
 from . import compare, tables
 from .config import GemmConfig, env_config
 from .complex_gemm import gemm_planar
-from .core import (QuantizedOperand, gemm, gemm_quantized, gemm_with_phases,
-                   matmul, precompute, syrk, work_bytes)
+from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
+                   gemm_with_phases, matmul, precompute, syrk, work_bytes)
 from .hook import emulate, install, refresh, uninstall
 from .tables import Backend
 
 __version__ = "0.2.0"
 
 __all__ = [
-    "gemm", "matmul", "syrk", "gemm_quantized", "precompute",
+    "gemm", "matmul", "syrk", "gemm_batched", "gemm_quantized", "precompute",
     "QuantizedOperand", "work_bytes", "gemm_with_phases", "gemm_planar",
     "Backend", "GemmConfig", "env_config", "tables", "compare",
     "emulate", "install", "refresh", "uninstall",

@@ -365,6 +365,41 @@ def matmul(a: jax.Array, b: jax.Array, **kw) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "epilogue"))
+def _gemm_batched(a, b, *, num_moduli, fastmode, backend, epilogue):
+    return jax.vmap(functools.partial(
+        emulate_matmul, num_moduli=num_moduli, fastmode=fastmode,
+        backend=backend, epilogue=epilogue))(a, b)
+
+
+def gemm_batched(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
+                 fastmode=True, backend: str = tables.Backend.INT8,
+                 epilogue: str = "auto") -> jax.Array:
+    """Emulated batched GEMM: (B, m, k) @ (B, k, n) -> (B, m, n).
+
+    The strided-batched entry users of cublasGemmStridedBatched expect;
+    each batch element runs the full emulation pipeline (vmapped -- XLA
+    batches the int8 MXU dots). For batched contractions inside larger
+    programs, the hook intercepts lax.dot_general batch dims directly.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if a.ndim != 3 or b.ndim != 3 or a.shape[0] != b.shape[0]:
+        raise ValueError(
+            f"gemm_batched expects (B, m, k) and (B, k, n); got {a.shape} "
+            f"and {b.shape}")
+    if jnp.issubdtype(a.dtype, jnp.complexfloating):
+        raise NotImplementedError(
+            "use the hook or vmap over gemm_planar for batched complex")
+    lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(
+            f"num_moduli={num_moduli} out of range [{lo},{hi}] for {a.dtype}")
+    return _gemm_batched(a, b, num_moduli=num_moduli, fastmode=fastmode,
+                         backend=backend, epilogue=epilogue)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "num_moduli", "fastmode", "backend", "trans", "epilogue"))
 def _syrk(a, *, num_moduli, fastmode, backend, trans, epilogue):
     if trans:

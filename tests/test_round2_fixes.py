@@ -414,3 +414,21 @@ def test_robust_fastmode():
     finally:
         del os.environ["GEMMUL8_NUM_MOD_D"]
         del os.environ["GEMMUL8_FASTMODE_D"]
+
+
+def test_gemm_batched():
+    """Strided-batched entry: each batch element equals the 2-D gemm
+    bit-for-bit (vmap of the same pipeline)."""
+    rng = np.random.default_rng(71)
+    a = jnp.asarray(rng.standard_normal((3, 24, 40)))
+    b = jnp.asarray(rng.standard_normal((3, 40, 16)))
+    out = np.asarray(g8.gemm_batched(a, b, num_moduli=12))
+    for i in range(3):
+        ref = np.asarray(core.gemm(a[i], b[i], num_moduli=12))
+        np.testing.assert_array_equal(out[i], ref)
+    with pytest.raises(ValueError, match="gemm_batched"):
+        g8.gemm_batched(jnp.zeros((2, 3, 4)), jnp.zeros((3, 4, 5)),
+                        num_moduli=8)
+    with pytest.raises(NotImplementedError):
+        g8.gemm_batched(jnp.zeros((2, 3, 4), jnp.complex128),
+                        jnp.zeros((2, 4, 5), jnp.complex128), num_moduli=8)
