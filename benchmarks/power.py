@@ -60,7 +60,11 @@ def parse_tpu_info_power(text: str) -> float:
             total += float(m.group(1))
             found = True
             continue
-        for m in re.finditer(r"([0-9]+(?:\.[0-9]+)?)\s*W\b", line):
+        # bare-wattage fallback: take only the FIRST figure per line -- a
+        # line stating draw plus a limit in another format (e.g.
+        # "45 W (limit 250 W)") must not double-count
+        m = re.search(r"([0-9]+(?:\.[0-9]+)?)\s*W\b", line)
+        if m:
             total += float(m.group(1))
             found = True
     return total if found else float("nan")

@@ -9,6 +9,12 @@ calls made after a change because config participates in jit static args):
                                      2|robust = scale-invariant fast shifts
   GEMMUL8_BACKEND                  : INT8 (default) or FP8
   GEMMUL8_EPILOGUE                 : auto (default) | ff | f64
+  GEMMUL8_SKIP_SCALE_A / _B        : per-side operand-plane reuse in hook mode
+                                     (1 = cache, 0 = requantize every call);
+                                     unset sides follow GEMMUL8_EAGER_CACHE
+                                     (default 1 -- safe: jax.Arrays are
+                                     immutable, unlike the reference's raw
+                                     pointers). Reference: hook.cu:20-38.
 """
 from __future__ import annotations
 

@@ -127,6 +127,19 @@ _CACHE_MAX = 8
 cache_hits = 0
 
 
+def _cache_enabled(side: str) -> bool:
+    """Per-side skip-scal gate, mirroring the reference env contract
+    (hook.cu:20-38): GEMMUL8_SKIP_SCALE_A / _B enable ("1") or disable ("0")
+    operand-plane reuse for that side; unset sides follow the master switch
+    GEMMUL8_EAGER_CACHE (default on -- safe here because jax.Arrays are
+    immutable, so identity implies content, unlike the reference's raw
+    device pointers which require explicit opt-in)."""
+    v = os.environ.get(f"GEMMUL8_SKIP_SCALE_{side}")
+    if v is not None:
+        return v.lower() not in ("0", "false")
+    return os.environ.get("GEMMUL8_EAGER_CACHE", "1").lower() not in ("0", "false")
+
+
 def _cached_operand(arr2d, side, cfg, owner, canon):
     """canon: hashable description of how `owner` was canonicalized into
     arr2d (contracting/batch dims + shape). Two eager calls on the same
@@ -160,13 +173,18 @@ def _emulated_dot_general(lhs, rhs, dimension_numbers, cfg: config.GemmConfig):
     lhs3, rhs3, out_shape = _canonicalize(lhs, rhs, dimension_numbers)
     is_cplx = bool(jnp.issubdtype(lhs.dtype, jnp.complexfloating))
     eager = not isinstance(lhs, jax.core.Tracer)         and not isinstance(rhs, jax.core.Tracer)
+    cache_a, cache_b = _cache_enabled("A"), _cache_enabled("B")
     if (eager and cfg.fastmode is True and not is_cplx and lhs3.shape[0] == 1
-            and os.environ.get("GEMMUL8_EAGER_CACHE", "1") not in ("0", "false")):
+            and (cache_a or cache_b)):
         (lc, rc), (lb, rb) = dimension_numbers
         canon_l = (tuple(lc), tuple(lb))
         canon_r = (tuple(rc), tuple(rb))
-        qa = _cached_operand(lhs3[0], "A", cfg, lhs, canon_l)
-        qb = _cached_operand(rhs3[0], "B", cfg, rhs, canon_r)
+        qa = (_cached_operand(lhs3[0], "A", cfg, lhs, canon_l) if cache_a
+              else core.precompute(lhs3[0], "A", num_moduli=cfg.num_moduli,
+                                   backend=cfg.backend))
+        qb = (_cached_operand(rhs3[0], "B", cfg, rhs, canon_r) if cache_b
+              else core.precompute(rhs3[0], "B", num_moduli=cfg.num_moduli,
+                                   backend=cfg.backend))
         out = core.gemm_quantized(qa, qb, out_dtype=lhs.dtype,
                                   epilogue=cfg.epilogue)[None]
         return out.reshape(out_shape)
@@ -218,6 +236,18 @@ def _hook_bind(lhs, rhs, *rest, **params):
 _fn_patches: list = []
 
 
+def _warn_cell_missing(name: str) -> None:
+    """The eager operator cache degrades silently if a JAX upgrade renames
+    the 'binary_op' freevar in jax.Array.__matmul__'s closure; surface that
+    so the degradation is visible (primitive-level hooking still applies)."""
+    import warnings
+    warnings.warn(
+        f"gemmul8_tpu.hook: could not locate the 'binary_op' closure cell in "
+        f"jax.Array.{name}; the eager operand-plane cache will not apply to "
+        f"the '@' operator on this JAX version (hooking inside jit is "
+        f"unaffected)", RuntimeWarning, stacklevel=3)
+
+
 def _eager_matmul_wrapper(orig):
     @functools.wraps(orig)
     def wrapped(a, b, *args, **kwargs):
@@ -234,8 +264,7 @@ def _eager_matmul_wrapper(orig):
             # where the primitive hook compiles the emulation once
             if (st.depth == 0 and dt == np.dtype(b.dtype).name
                     and dt in ("float32", "float64")
-                    and os.environ.get("GEMMUL8_EAGER_CACHE", "1")
-                    not in ("0", "false")):
+                    and (_cache_enabled("A") or _cache_enabled("B"))):
                 cfg = st.overrides if st.overrides is not None \
                     else config.env_config(dt)
                 if cfg is not None and cfg.fastmode is True and cfg.validate(dt):
@@ -256,10 +285,12 @@ def _patch_functions():
     for name in ("__matmul__", "__rmatmul__"):
         op = getattr(arr_t, name, None)
         if op is None or op.__closure__ is None:
+            _warn_cell_missing(name)
             continue
         try:
             idx = op.__code__.co_freevars.index("binary_op")
         except ValueError:
+            _warn_cell_missing(name)
             continue
         cell = op.__closure__[idx]
         orig = cell.cell_contents
@@ -291,39 +322,48 @@ def _unpatch_functions():
 # call re-trace with the new config -- no manual refresh() needed.
 # ---------------------------------------------------------------------------
 _env_unpatched = None
+_env_patch_lock = threading.Lock()
 
 
 def _patch_environ():
+    """Install the os.environ watch. NOTE the cost: this rewrites
+    os._Environ.__setitem__/__delitem__ CLASS-wide until uninstall(), and a
+    GEMMUL8_* write calls jax.clear_caches(), which evicts ALL of the
+    application's compiled executables (XLA bakes hook config into traces at
+    trace time, so a narrower invalidation is not possible from here). Apps
+    that never setenv() between GEMMs pay nothing."""
     global _env_unpatched
-    if _env_unpatched is not None:
-        return
-    cls = type(os.environ)
-    orig_set, orig_del = cls.__setitem__, cls.__delitem__
+    with _env_patch_lock:
+        if _env_unpatched is not None:
+            return
+        cls = type(os.environ)
+        orig_set, orig_del = cls.__setitem__, cls.__delitem__
 
-    def setitem(self, key, value):
-        stale = (_installed and isinstance(key, str)
-                 and key.startswith("GEMMUL8_") and self.get(key) != value)
-        orig_set(self, key, value)
-        if stale:
-            jax.clear_caches()
+        def setitem(self, key, value):
+            stale = (_installed and isinstance(key, str)
+                     and key.startswith("GEMMUL8_") and self.get(key) != value)
+            orig_set(self, key, value)
+            if stale:
+                jax.clear_caches()
 
-    def delitem(self, key):
-        stale = (_installed and isinstance(key, str)
-                 and key.startswith("GEMMUL8_") and key in self)
-        orig_del(self, key)
-        if stale:
-            jax.clear_caches()
+        def delitem(self, key):
+            stale = (_installed and isinstance(key, str)
+                     and key.startswith("GEMMUL8_") and key in self)
+            orig_del(self, key)
+            if stale:
+                jax.clear_caches()
 
-    cls.__setitem__, cls.__delitem__ = setitem, delitem
-    _env_unpatched = (cls, orig_set, orig_del)
+        cls.__setitem__, cls.__delitem__ = setitem, delitem
+        _env_unpatched = (cls, orig_set, orig_del)
 
 
 def _unpatch_environ():
     global _env_unpatched
-    if _env_unpatched is not None:
-        cls, orig_set, orig_del = _env_unpatched
-        cls.__setitem__, cls.__delitem__ = orig_set, orig_del
-        _env_unpatched = None
+    with _env_patch_lock:
+        if _env_unpatched is not None:
+            cls, orig_set, orig_del = _env_unpatched
+            cls.__setitem__, cls.__delitem__ = orig_set, orig_del
+            _env_unpatched = None
 
 
 def install(num_moduli: Optional[int] = None, fastmode: Optional[bool] = None,
