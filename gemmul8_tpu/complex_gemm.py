@@ -304,6 +304,57 @@ def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
 
 
 @functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "epilogue"))
+def _gemm_batched_cplx(a, b, *, num_moduli, fastmode, backend, epilogue):
+    return jax.vmap(functools.partial(
+        emulate_matmul_complex, num_moduli=num_moduli, fastmode=fastmode,
+        backend=backend, epilogue=epilogue))(a, b)
+
+
+def gemm_batched_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
+                         fastmode=True, backend: str = tables.Backend.INT8,
+                         epilogue: str = "auto") -> jax.Array:
+    """Emulated batched complex GEMM: (B, m, k) @ (B, k, n) -> (B, m, n).
+
+    Complex counterpart of core.gemm_batched (the strided-batched entry;
+    the reference's gemm is stream-callable for any dtype and its hook
+    handles batched complex dims, hook.cu:609-730). Each batch element runs
+    the full 3M residue pipeline, vmapped so XLA batches the MXU dots."""
+    name = np.dtype(a.dtype).name
+    lo, hi = tables.VALID_RANGE[name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}] for {name}")
+    return _gemm_batched_cplx(a, b, num_moduli=num_moduli, fastmode=fastmode,
+                              backend=backend, epilogue=epilogue)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "epilogue"))
+def _gemm_batched_planar(ar, ai, br, bi, *, num_moduli, fastmode, backend,
+                         epilogue):
+    return jax.vmap(functools.partial(
+        emulate_matmul_complex_planar, num_moduli=num_moduli,
+        fastmode=fastmode, backend=backend, epilogue=epilogue))(ar, ai, br, bi)
+
+
+def gemm_batched_planar(ar, ai, br, bi, *, num_moduli: int = 8, fastmode=True,
+                        backend: str = tables.Backend.INT8,
+                        epilogue: str = "auto"):
+    """Batched planar-complex GEMM: (B,m,k)+(B,m,k) x (B,k,n)+(B,k,n) ->
+    ((B,m,n), (B,m,n)). The batched complex entry for accelerators whose
+    runtimes lack complex dtypes (e.g. the v5e PJRT stack); bit-identical to
+    gemm_batched_complex on complex views of the same data."""
+    name = {"float32": "complex64", "float64": "complex128"}[
+        np.dtype(ar.dtype).name]
+    lo, hi = tables.VALID_RANGE[name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}] for {name}")
+    return _gemm_batched_planar(ar, ai, br, bi, num_moduli=num_moduli,
+                                fastmode=fastmode, backend=backend,
+                                epilogue=epilogue)
+
+
+@functools.partial(jax.jit, static_argnames=(
     "num_moduli", "fastmode", "backend", "op_a", "op_b", "epilogue"))
 def _gemm_planar(ar, ai, br, bi, *, num_moduli, fastmode, backend,
                  op_a, op_b, epilogue):

@@ -309,16 +309,30 @@ def _gemm_real(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("trivial_alpha", "beta_kind"))
+def _ab_epilogue(ab, alpha, beta, c, *, trivial_alpha, beta_kind):
+    out = ab if trivial_alpha else alpha.astype(ab.dtype) * ab
+    if beta_kind != "zero":
+        out = out + (c if beta_kind == "one" else beta.astype(ab.dtype) * c)
+    return out
+
+
 def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
          fastmode: bool = True, backend: str = tables.Backend.INT8,
          alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
          trans_a: bool = False, trans_b: bool = False,
-         epilogue: str = "auto") -> jax.Array:
+         epilogue: str = "auto", m_block: Optional[int] = None,
+         n_block: Optional[int] = None) -> jax.Array:
     """Emulated high-precision GEMM: C = alpha * op(A) @ op(B) + beta * C.
 
     Public analog of gemmul8::gemm (reference: include/gemmul8.hpp:41-94).
     `num_moduli` dials accuracy vs speed (2..13 for f32, 2..20 for f64).
     Results are bit-wise reproducible for fixed shapes/config on a platform.
+
+    Big shapes are automatically M/N-striped when their workspace would
+    exceed the device budget (pick_blocking; the reference's 8192-column
+    N-blocking, matmult.hpp:68-75) -- bit-identical to the unblocked path.
+    m_block/n_block force explicit stripe widths.
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
@@ -350,6 +364,29 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
     beta_kind = ("zero" if isinstance(beta, (int, float)) and beta == 0
                  else "one" if isinstance(beta, (int, float)) and beta == 1
                  else "general")
+    # memory-gated M/N blocking (auto on accelerators via pick_blocking;
+    # explicit m_block/n_block force it)
+    m_eff = a.shape[1] if trans_a else a.shape[0]
+    k_eff = a.shape[0] if trans_a else a.shape[1]
+    n_eff = b.shape[0] if trans_b else b.shape[1]
+    if m_block is None and n_block is None and k_eff > 0:
+        m_block, n_block = pick_blocking(m_eff, n_eff, k_eff, num_moduli,
+                                         a.dtype, backend)
+    if (m_block is not None or n_block is not None) and k_eff > 0:
+        at = a.T if trans_a else a
+        bt = b.T if trans_b else b
+        ab = emulate_matmul_blocked(
+            at, bt, num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+            epilogue=epilogue, n_block=n_block or n_eff, m_block=m_block)
+        if trivial_alpha and (not has_c or beta_kind == "zero"):
+            return ab
+        # jitted: XLA contracts mul+add to fma exactly as inside _gemm_real,
+        # keeping the blocked path bit-identical to the unblocked one
+        return _ab_epilogue(ab, jnp.asarray(alpha), jnp.asarray(beta),
+                            c if has_c and beta_kind != "zero"
+                            else jnp.zeros((), ab.dtype),
+                            trivial_alpha=trivial_alpha,
+                            beta_kind="zero" if not has_c else beta_kind)
     if not has_c or beta_kind == "zero":
         c = jnp.zeros((), a.dtype)  # placeholder, never read
     return _gemm_real(a, b, c, jnp.asarray(alpha), jnp.asarray(beta),
@@ -388,9 +425,13 @@ def gemm_batched(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
         raise ValueError(
             f"gemm_batched expects (B, m, k) and (B, k, n); got {a.shape} "
             f"and {b.shape}")
+    if a.dtype != b.dtype:
+        raise TypeError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
-        raise NotImplementedError(
-            "use the hook or vmap over gemm_planar for batched complex")
+        from . import complex_gemm
+        return complex_gemm.gemm_batched_complex(
+            a, b, num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+            epilogue=epilogue)
     lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
     if not lo <= num_moduli <= hi:
         raise ValueError(
@@ -460,6 +501,182 @@ def syrk(a: jax.Array, *, trans: bool = False, num_moduli: int = 8,
         out = out + (c if isinstance(beta, (int, float)) and beta == 1
                      else jnp.asarray(beta).astype(out.dtype) * c)
     return out
+
+
+# ---------------------------------------------------------------------------
+# memory-bounded M/N-blocked driver (big single-chip shapes)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_moduli", "fastmode",
+                                             "backend"))
+def _blk_encode_a(a, *, num_moduli, fastmode, backend):
+    if jax.default_backend() != "cpu":
+        a = _pad128(a, (0, 1))
+    var = "invariant" if fastmode == "robust" else "reference"
+    sft = quantize.shift_fast(a, num_moduli, backend, reduce_axis=1,
+                              variant=var)
+    return quantize.encode_planes(a, sft, 0, num_moduli, backend), sft
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "out_dtype", "epilogue", "m_out"))
+def _blk_stripe_fast(a_planes, sft_a, b_stripe, *, num_moduli, fastmode,
+                     backend, out_dtype, epilogue, m_out):
+    n_out = b_stripe.shape[1]
+    if jax.default_backend() != "cpu":
+        b_stripe = _pad128(b_stripe, (0, 1))
+    var = "invariant" if fastmode == "robust" else "reference"
+    sft_b = quantize.shift_fast(b_stripe, num_moduli, backend, reduce_axis=0,
+                                variant=var)
+    b_planes = quantize.encode_planes(b_stripe, sft_b, 1, num_moduli, backend)
+    out = _emulated_product(a_planes, sft_a, b_planes, sft_b, num_moduli,
+                            backend, jnp.dtype(out_dtype), epilogue)
+    return out[:m_out, :n_out]
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _blk_extract_a(a_s, *, backend):
+    return quantize.extract_ub_plane(a_s, backend, scale_axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("backend",))
+def _blk_est_tile(ub_a, b_s, *, backend):
+    ub_b, pre_b = quantize.extract_ub_plane(b_s, backend, scale_axis=1)
+    c_est = quantize.estimate_gemm(ub_a, ub_b, backend)
+    return jnp.max(c_est, axis=1), jnp.max(c_est, axis=0), pre_b
+
+
+@functools.partial(jax.jit, static_argnames=("num_moduli", "backend"))
+def _blk_encode_a_accu(a_s, row_max, pre_a, *, num_moduli, backend):
+    sft = quantize.shift_accu_from_chi(row_max, pre_a, num_moduli, backend)
+    if jax.default_backend() != "cpu":
+        a_s = _pad128(a_s, (0, 1))
+        sft = jnp.pad(sft, (0, a_s.shape[0] - sft.shape[0]))
+    return quantize.encode_planes(a_s, sft, 0, num_moduli, backend), sft
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "backend", "out_dtype", "epilogue", "m_out"))
+def _blk_stripe_accu(a_planes, sft_a, b_stripe, col_max, pre_b, *,
+                     num_moduli, backend, out_dtype, epilogue, m_out):
+    n_out = b_stripe.shape[1]
+    sft_b = quantize.shift_accu_from_chi(col_max, pre_b, num_moduli, backend)
+    if jax.default_backend() != "cpu":
+        b_stripe = _pad128(b_stripe, (0, 1))
+        sft_b = jnp.pad(sft_b, (0, b_stripe.shape[1] - sft_b.shape[0]))
+    b_planes = quantize.encode_planes(b_stripe, sft_b, 1, num_moduli, backend)
+    out = _emulated_product(a_planes, sft_a, b_planes, sft_b, num_moduli,
+                            backend, jnp.dtype(out_dtype), epilogue)
+    return out[:m_out, :n_out]
+
+
+def emulate_matmul_blocked(a: jax.Array, b: jax.Array, *, num_moduli: int,
+                           fastmode=True, backend: str = tables.Backend.INT8,
+                           epilogue: str = "auto", n_block: int = 8192,
+                           m_block: Optional[int] = None) -> jax.Array:
+    """Memory-bounded emulated A @ B: N (and optionally M) is processed in
+    stripes so peak temporary memory is ~work_bytes(m_block, n_block, k)
+    instead of work_bytes(m, n, k) -- the TPU analog of the reference's
+    bounded-workspace N-column blocking (matmult.hpp:68-75, 129-175), which
+    lets shapes like 16384^3 f64 run inside a v5e's 16-GB HBM.
+
+    Bit-identical to emulate_matmul: per-row shifts/planes depend only on
+    that row of A, per-column only on that column of B, and in accurate mode
+    the estimation row/col maxima are reduced exactly (max is order-free)
+    across the tile grid before any encode. Each stripe runs as its own XLA
+    program; equal stripe widths share one compiled executable. Real
+    operands only (complex big shapes: compose with the distributed layer).
+    """
+    m, k = a.shape
+    n = b.shape[1]
+    out_dtype = a.dtype
+    m_block = m if m_block is None else m_block
+    m_starts = list(range(0, m, m_block))
+    n_starts = list(range(0, n, n_block))
+
+    if fastmode:
+        outs_m = []
+        for mi in m_starts:
+            a_s = a[mi:mi + m_block]
+            a_planes, sft_a = _blk_encode_a(
+                a_s, num_moduli=num_moduli, fastmode=fastmode, backend=backend)
+            outs_n = [
+                _blk_stripe_fast(
+                    a_planes, sft_a, b[:, ni:ni + n_block],
+                    num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+                    out_dtype=out_dtype.name, epilogue=epilogue,
+                    m_out=a_s.shape[0])
+                for ni in n_starts]
+            outs_m.append(outs_n[0] if len(outs_n) == 1
+                          else jnp.concatenate(outs_n, axis=1))
+        return outs_m[0] if len(outs_m) == 1 else jnp.concatenate(outs_m, 0)
+
+    # accurate mode: phase 1 -- estimation GEMM over the whole tile grid,
+    # exact row/col maxima (rowmax spans all N stripes, colmax all M stripes:
+    # scaling_accu_real.hpp:142-226 semantics at blocked scale)
+    ub_pre_a = [_blk_extract_a(a[mi:mi + m_block], backend=backend)
+                for mi in m_starts]
+    row_maxes = [None] * len(m_starts)
+    col_maxes = [None] * len(n_starts)
+    pre_bs = [None] * len(n_starts)
+    for i, mi in enumerate(m_starts):
+        for j, ni in enumerate(n_starts):
+            rm, cm, pre_b = _blk_est_tile(ub_pre_a[i][0],
+                                          b[:, ni:ni + n_block],
+                                          backend=backend)
+            row_maxes[i] = rm if row_maxes[i] is None \
+                else jnp.maximum(row_maxes[i], rm)
+            col_maxes[j] = cm if col_maxes[j] is None \
+                else jnp.maximum(col_maxes[j], cm)
+            pre_bs[j] = pre_b
+    # phase 2: encode + per-tile product
+    outs_m = []
+    for i, mi in enumerate(m_starts):
+        a_s = a[mi:mi + m_block]
+        a_planes, sft_a = _blk_encode_a_accu(
+            a_s, row_maxes[i], ub_pre_a[i][1], num_moduli=num_moduli,
+            backend=backend)
+        outs_n = [
+            _blk_stripe_accu(
+                a_planes, sft_a, b[:, ni:ni + n_block], col_maxes[j],
+                pre_bs[j], num_moduli=num_moduli, backend=backend,
+                out_dtype=out_dtype.name, epilogue=epilogue,
+                m_out=a_s.shape[0])
+            for j, ni in enumerate(n_starts)]
+        outs_m.append(outs_n[0] if len(outs_n) == 1
+                      else jnp.concatenate(outs_n, axis=1))
+    return outs_m[0] if len(outs_m) == 1 else jnp.concatenate(outs_m, 0)
+
+
+def pick_blocking(m: int, n: int, k: int, num_moduli: int, dtype,
+                  backend: str = tables.Backend.INT8,
+                  budget_bytes: Optional[int] = None):
+    """(m_block, n_block) or (None, None): choose reference-style stripe
+    widths (8192 halving to 1024; matmult.hpp:68-75 uses fixed 8192) so one
+    stripe's work_bytes fits the budget. Budget default: 12 GiB on
+    accelerators (v5e HBM minus residents), unbounded on CPU; override via
+    GEMMUL8_HBM_BUDGET_GB."""
+    import os
+    if budget_bytes is None:
+        env = os.environ.get("GEMMUL8_HBM_BUDGET_GB")
+        if env is not None:
+            budget_bytes = int(float(env) * (1 << 30))
+        elif jax.default_backend() == "cpu":
+            return None, None
+        else:
+            budget_bytes = 12 * (1 << 30)
+    if work_bytes(m, n, k, num_moduli, dtype, backend) <= budget_bytes:
+        return None, None
+    for m_blk in (m, 8192, 4096, 2048, 1024):
+        if m_blk > m:
+            continue
+        for n_blk in (8192, 4096, 2048, 1024):
+            if n_blk > n:
+                continue
+            if work_bytes(min(m, m_blk), min(n, n_blk), k, num_moduli,
+                          dtype, backend) <= budget_bytes:
+                return (None if m_blk == m else m_blk), n_blk
+    return 1024, 1024
 
 
 def work_bytes(m: int, n: int, k: int, num_moduli: int,

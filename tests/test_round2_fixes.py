@@ -429,6 +429,8 @@ def test_gemm_batched():
     with pytest.raises(ValueError, match="gemm_batched"):
         g8.gemm_batched(jnp.zeros((2, 3, 4)), jnp.zeros((3, 4, 5)),
                         num_moduli=8)
-    with pytest.raises(NotImplementedError):
-        g8.gemm_batched(jnp.zeros((2, 3, 4), jnp.complex128),
-                        jnp.zeros((2, 4, 5), jnp.complex128), num_moduli=8)
+    # batched complex is now a real path (round 3): see
+    # tests/test_round3_fixes.py::test_gemm_batched_complex_matches_per_slice
+    out_c = g8.gemm_batched(jnp.zeros((2, 3, 4), jnp.complex128),
+                            jnp.zeros((2, 4, 5), jnp.complex128), num_moduli=8)
+    assert out_c.shape == (2, 3, 5) and out_c.dtype == jnp.complex128

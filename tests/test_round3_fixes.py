@@ -1,0 +1,156 @@
+"""Round-3 VERDICT/ADVICE item tests: SKIP_SCALE env parity, batched complex,
+gemm_batched dtype checks."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gemmul8_tpu as g8
+from gemmul8_tpu import complex_gemm, core
+
+
+# ---------------------------------------------------------------------------
+# GEMMUL8_SKIP_SCALE_A / _B env parity (reference: hook.cu:20-38, 287-309)
+# ---------------------------------------------------------------------------
+
+def test_skip_scale_env_per_side(monkeypatch):
+    """SKIP_SCALE_A/B gate the per-side operand-plane cache: with A enabled
+    and B disabled, only the A side registers cache hits; results stay
+    bit-identical either way."""
+    from gemmul8_tpu import hook as hook_mod
+    dn = (((1,), (0,)), ((), ()))
+    rng = np.random.default_rng(31)
+    a = jnp.asarray(rng.standard_normal((24, 96)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((96, 16)), jnp.float32)
+
+    monkeypatch.setenv("GEMMUL8_EAGER_CACHE", "0")
+    with g8.emulate(num_moduli=9):
+        ref = np.asarray(jax.lax.dot_general(a, b, dn))
+
+    monkeypatch.delenv("GEMMUL8_EAGER_CACHE", raising=False)
+    monkeypatch.setenv("GEMMUL8_SKIP_SCALE_A", "1")
+    monkeypatch.setenv("GEMMUL8_SKIP_SCALE_B", "0")
+    hook_mod.clear_plane_cache()
+    h0 = hook_mod.cache_hits
+    with g8.emulate(num_moduli=9):
+        c1 = np.asarray(jax.lax.dot_general(a, b, dn))
+        c2 = np.asarray(jax.lax.dot_general(a, b, dn))
+    # second call: A planes hit the cache, B was requantized (no B entry)
+    assert hook_mod.cache_hits - h0 == 1
+    assert not any(key[1] == "B" for key in hook_mod._plane_cache)
+    np.testing.assert_array_equal(c1, ref)
+    np.testing.assert_array_equal(c2, ref)
+    hook_mod.clear_plane_cache()
+
+
+def test_skip_scale_env_both_disabled(monkeypatch):
+    """SKIP_SCALE_A=0 and _B=0 disables plane reuse entirely even when the
+    master EAGER_CACHE default (on) would allow it."""
+    from gemmul8_tpu import hook as hook_mod
+    dn = (((1,), (0,)), ((), ()))
+    rng = np.random.default_rng(32)
+    a = jnp.asarray(rng.standard_normal((16, 64)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((64, 16)), jnp.float32)
+    monkeypatch.delenv("GEMMUL8_EAGER_CACHE", raising=False)
+    monkeypatch.setenv("GEMMUL8_SKIP_SCALE_A", "0")
+    monkeypatch.setenv("GEMMUL8_SKIP_SCALE_B", "0")
+    hook_mod.clear_plane_cache()
+    h0 = hook_mod.cache_hits
+    with g8.emulate(num_moduli=8):
+        np.asarray(jax.lax.dot_general(a, b, dn))
+        np.asarray(jax.lax.dot_general(a, b, dn))
+    assert hook_mod.cache_hits == h0
+    assert not hook_mod._plane_cache
+
+
+# ---------------------------------------------------------------------------
+# batched complex GEMM (VERDICT round-2 missing item 4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("dtype,nu", [("complex64", 8), ("complex128", 12)])
+def test_gemm_batched_complex_matches_per_slice(dtype, nu):
+    rng = np.random.default_rng(7)
+    B, m, k, n = 3, 24, 40, 16
+    a = (rng.standard_normal((B, m, k)) + 1j * rng.standard_normal((B, m, k))
+         ).astype(dtype)
+    b = (rng.standard_normal((B, k, n)) + 1j * rng.standard_normal((B, k, n))
+         ).astype(dtype)
+    out = np.asarray(core.gemm_batched(jnp.asarray(a), jnp.asarray(b),
+                                       num_moduli=nu))
+    assert out.shape == (B, m, n) and out.dtype == np.dtype(dtype)
+    for i in range(B):
+        ref = np.asarray(g8.gemm(jnp.asarray(a[i]), jnp.asarray(b[i]),
+                                 num_moduli=nu))
+        np.testing.assert_array_equal(out[i], ref)
+
+
+def test_gemm_batched_planar_matches_complex():
+    rng = np.random.default_rng(8)
+    B, m, k, n = 2, 16, 32, 24
+    a = rng.standard_normal((B, m, k)) + 1j * rng.standard_normal((B, m, k))
+    b = rng.standard_normal((B, k, n)) + 1j * rng.standard_normal((B, k, n))
+    cr, ci = complex_gemm.gemm_batched_planar(
+        jnp.asarray(a.real), jnp.asarray(a.imag),
+        jnp.asarray(b.real), jnp.asarray(b.imag), num_moduli=10)
+    ref = np.asarray(core.gemm_batched(jnp.asarray(a), jnp.asarray(b),
+                                       num_moduli=10))
+    np.testing.assert_array_equal(np.asarray(cr), ref.real)
+    np.testing.assert_array_equal(np.asarray(ci), ref.imag)
+
+
+# ---------------------------------------------------------------------------
+# memory-gated M/N blocking (VERDICT round-2 missing item 3;
+# reference: matmult.hpp:68-75, 129-175)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("fastmode", [True, "robust", False])
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_blocked_gemm_bit_identical(fastmode, dtype):
+    """N/M-striped driver == unblocked driver bitwise, for fast / robust /
+    accurate modes, odd shapes and stripe tails included."""
+    rng = np.random.default_rng(41)
+    m, k, n = 52, 96, 72
+    a = jnp.asarray(rng.standard_normal((m, k)), dtype)
+    b = jnp.asarray(rng.standard_normal((k, n)), dtype)
+    ref = np.asarray(g8.gemm(a, b, num_moduli=9, fastmode=fastmode))
+    for mb, nb in [(None, 32), (24, 32), (16, 24)]:
+        out = np.asarray(g8.gemm(a, b, num_moduli=9, fastmode=fastmode,
+                                 m_block=mb, n_block=nb))
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_blocked_gemm_alpha_beta_and_trans():
+    rng = np.random.default_rng(42)
+    a = jnp.asarray(rng.standard_normal((40, 64)))
+    b = jnp.asarray(rng.standard_normal((24, 64)))   # used transposed
+    c = jnp.asarray(rng.standard_normal((40, 24)))
+    ref = np.asarray(g8.gemm(a, b, num_moduli=10, trans_b=True,
+                             alpha=-1.5, beta=1.25, c=c))
+    out = np.asarray(g8.gemm(a, b, num_moduli=10, trans_b=True,
+                             alpha=-1.5, beta=1.25, c=c, n_block=8))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pick_blocking_model():
+    """pick_blocking: small shapes stay unblocked; 16384^3 f64 nu=16 must
+    block to fit a 12-GiB budget; chosen stripes actually fit."""
+    from gemmul8_tpu.core import pick_blocking, work_bytes
+    budget = 12 * (1 << 30)
+    assert pick_blocking(8192, 8192, 8192, 16, jnp.float64,
+                         budget_bytes=budget) == (None, None)
+    mb, nb = pick_blocking(16384, 16384, 16384, 16, jnp.float64,
+                           budget_bytes=budget)
+    assert nb is not None
+    assert work_bytes(mb or 16384, nb, 16384, 16) <= budget
+    # 32768^3: m must block too
+    mb2, nb2 = pick_blocking(32768, 32768, 32768, 16, jnp.float64,
+                             budget_bytes=budget)
+    assert mb2 is not None and nb2 is not None
+    assert work_bytes(mb2, nb2, 32768, 16) <= budget
+
+
+def test_gemm_batched_dtype_mismatch_raises():
+    a = jnp.zeros((2, 4, 4), jnp.float32)
+    b = jnp.zeros((2, 4, 4), jnp.float64)
+    with pytest.raises(TypeError, match="dtype mismatch"):
+        core.gemm_batched(a, b, num_moduli=8)
