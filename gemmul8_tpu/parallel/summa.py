@@ -40,7 +40,11 @@ _NORM_FIX_BITS = 30
 
 
 def make_mesh(shape=None, axis_names=("x", "y")) -> Mesh:
-    """Create a 2D mesh over all available devices (largest near-square grid)."""
+    """Create a 2D mesh over all available devices (largest near-square grid).
+
+    Multi-process safe: jax.devices() enumerates the GLOBAL device list under
+    jax.distributed.initialize, so every process builds the same
+    process-spanning mesh (deterministic device order)."""
     devs = np.asarray(jax.devices())
     n = len(devs)
     if shape is None:
@@ -90,18 +94,41 @@ def _shift_fast_dist(x, num_moduli, backend, reduce_axis, axis_name,
     # Exact order-free accumulation WITHOUT int64 (unavailable when x64 is
     # off -- the usual TPU config, where jnp.sum(dtype=int64) silently
     # truncates to int32 and overflows): split each 31-bit sample into three
-    # 13-bit pieces, sum/psum each piece in int32 (exact for global k up to
-    # 2^18), and recombine in f32 -- identical arithmetic on every mesh
-    # shape, so the bit-identity invariant holds.
+    # 13-bit pieces and accumulate each piece with a TWO-TIER int32 scheme:
+    #   tier 1: per-chunk sums over <= 2^17 local samples (exact: < 2^30);
+    #   tier 2: each chunk sum split at bit 15 into (lo, hi) int32
+    #           accumulators, summed locally then psum'd (exact while
+    #           #global-chunks * 2^15 < 2^31, i.e. global k <= 2^33).
+    # The (lo, hi) pair is then CARRY-PROPAGATED to the canonical form
+    # (total mod 2^15, total >> 15) -- a function of the exact global sum
+    # only, independent of chunk/shard boundaries -- so the f32 recombination
+    # below rounds identically on every mesh shape and the bit-identity
+    # invariant holds for any k.
+    _CHUNK = 1 << 17
+    k_loc = fx.shape[reduce_axis]
+    n_ch = max(1, -(-k_loc // _CHUNK))
     pieces = []
     for shift in (0, 13, 26):
         p = jnp.right_shift(fx, jnp.int32(shift)) & jnp.int32(0x1FFF)
-        pieces.append(jax.lax.psum(
-            jnp.sum(p, axis=reduce_axis, dtype=jnp.int32), axis_name))
+        lo_acc = hi_acc = None
+        for ci in range(n_ch):
+            sl = [slice(None)] * fx.ndim
+            sl[reduce_axis] = slice(ci * _CHUNK, min((ci + 1) * _CHUNK, k_loc))
+            s = jnp.sum(p[tuple(sl)], axis=reduce_axis, dtype=jnp.int32)
+            lo = s & jnp.int32(0x7FFF)
+            hi = jnp.right_shift(s, jnp.int32(15))
+            lo_acc = lo if lo_acc is None else lo_acc + lo
+            hi_acc = hi if hi_acc is None else hi_acc + hi
+        lo_acc = jax.lax.psum(lo_acc, axis_name)
+        hi_acc = jax.lax.psum(hi_acc, axis_name)
+        hi_c = hi_acc + jnp.right_shift(lo_acc, jnp.int32(15))
+        lo_c = lo_acc & jnp.int32(0x7FFF)
+        pieces.append(lo_c.astype(jnp.float32)
+                      + hi_c.astype(jnp.float32) * np.float32(2.0 ** 15))
     # +1 makes it a (tiny) upper bias and guards log2(0)
-    s2 = (pieces[0].astype(jnp.float32)
-          + pieces[1].astype(jnp.float32) * np.float32(2.0 ** 13)
-          + pieces[2].astype(jnp.float32) * np.float32(2.0 ** 26)
+    s2 = (pieces[0]
+          + pieces[1] * np.float32(2.0 ** 13)
+          + pieces[2] * np.float32(2.0 ** 26)
           + np.float32(1.0))
     log2vsum = (jnp.log2(s2) - np.float32(_NORM_FIX_BITS)
                 + np.float32(2.0) * E.astype(jnp.float32)
@@ -200,23 +227,61 @@ def _summa_local(a_blk, b_blk, num_moduli, fastmode, backend, epilogue):
                                   a_blk.dtype, epilogue)
 
 
-def _bcast_panel(planes, axis_name, owner, off, sizes, slice_axis):
+def _ring_bcast_from(window, axis_name, o, team):
+    """Pipelined bidirectional-ring broadcast from STATIC owner `o`: the
+    panel hops neighbor-to-neighbor via single-pair ppermutes, so each ICI
+    link carries the panel at most ONCE (a masked psum's ring all-reduce
+    moves ~2x the bytes). ceil((team-1)/2) rounds; the hop latency hides
+    under the streaming loop's prefetch overlap. `window` must be the
+    panel on the owner and zeros elsewhere; arrivals combine by addition
+    (exact: one nonzero contributor per member)."""
+    if team == 1:
+        return window
+    cur = window
+    n_fwd = team // 2                  # owner+1 .. owner+n_fwd
+    n_bwd = team - 1 - n_fwd           # owner-1 .. owner-n_bwd
+    # the backward chain starts one round late: ppermute requires unique
+    # sources per call, and at round 0 only the owner holds the panel
+    for r in range(max(n_fwd, n_bwd + 1)):
+        pairs = []
+        if r < n_fwd:
+            pairs.append(((o + r) % team, (o + r + 1) % team))
+        if 1 <= r <= n_bwd:
+            pairs.append(((o - (r - 1)) % team, (o - r) % team))
+        if pairs:
+            cur = cur + jax.lax.ppermute(cur, axis_name, pairs)
+    return cur
+
+
+def _bcast_panel(planes, axis_name, owner, off, sizes, slice_axis, team,
+                 method="ring"):
     """Deliver one k-panel to every member of a mesh-axis team: the owner
-    extracts its local window, everyone else contributes zeros, and a masked
-    integer psum broadcasts it (order-free; a single nonzero contributor so
-    no overflow). SPMD-uniform: the dynamic_slice start is clamped to 0 on
-    non-owners."""
+    extracts its local window, everyone else contributes zeros, then either
+    a pipelined ppermute ring (method="ring", default: 1x panel bytes per
+    link) or a masked integer psum (method="psum": simpler, ~2x bytes)
+    broadcasts it. Both are order-free with a single nonzero contributor,
+    so the delivered integers -- and hence the residue accumulation -- are
+    bit-identical between methods and across mesh shapes. SPMD-uniform:
+    the dynamic_slice start is clamped to 0 on non-owners, and the ring's
+    static per-owner ppermute chains are selected by lax.switch on the
+    (dynamic) owner index."""
     me = jax.lax.axis_index(axis_name)
     is_owner = (me == owner)
     starts = [jnp.int32(0)] * planes.ndim
     starts[slice_axis] = jnp.where(is_owner, off, 0).astype(jnp.int32)
     window = jax.lax.dynamic_slice(planes, starts, sizes)
     window = jnp.where(is_owner, window, jnp.zeros_like(window))
-    return jax.lax.psum(window, axis_name)
+    if method == "psum" or team == 1:
+        return jax.lax.psum(window, axis_name)
+    return jax.lax.switch(
+        jnp.clip(owner.astype(jnp.int32), 0, team - 1),
+        [functools.partial(_ring_bcast_from, axis_name=axis_name, o=o,
+                           team=team) for o in range(team)],
+        window)
 
 
 def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
-                        epilogue, k_panel, k, x_size, y_size):
+                        epilogue, k_panel, k, x_size, y_size, bcast="ring"):
     """shard_map body for the K-panel-STREAMING SUMMA (VERDICT item 2): no
     full-K gather is ever materialized. Per step t, the int8 residue planes
     of k-panel t are broadcast to the row team (A, along "y") and column
@@ -244,23 +309,31 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
     k_x = k // x_size                      # local B panel height
     w = k_panel
     steps = k // w
+    p_max = int(max(tables.moduli(backend)[:num_moduli]))
+    # INT8 accumulates per-step residues in [0, p) -> |acc| < steps * p;
+    # FP8 accumulates wrapped residues in [-p/2, p/2] -> |acc| <= steps * p/2.
+    acc_bound = steps * p_max if backend == tables.Backend.INT8 \
+        else steps * p_max // 2
+    assert acc_bound < 2 ** 31, (
+        f"streamed residue accumulator would overflow int32: {steps} steps x "
+        f"p_max={p_max}; raise k_panel or use the gather path")
     mods = jnp.asarray(tables.moduli(backend)[:num_moduli],
                        jnp.int32).reshape(num_moduli, 1, 1)
 
-    def bcast(t):
+    def bcast_fn(t):
         a_pan = _bcast_panel(pa, "y", (t * w) // k_y,
                              t * w - ((t * w) // k_y) * k_y,
-                             (planes, m_loc, w), 2)
+                             (planes, m_loc, w), 2, y_size, bcast)
         b_pan = _bcast_panel(pb, "x", (t * w) // k_x,
                              t * w - ((t * w) // k_x) * k_x,
-                             (planes, w, n_loc), 1)
+                             (planes, w, n_loc), 1, x_size, bcast)
         return a_pan, b_pan
 
     def body(t, carry):
         acc, ap, bp = carry
         # prefetch the next panel first: independent of this step's dot, so
         # the compiler is free to overlap the collectives with the MXU work
-        nxt = bcast(jnp.minimum(t + 1, steps - 1))
+        nxt = bcast_fn(jnp.minimum(t + 1, steps - 1))
         if backend == tables.Backend.FP8:
             from .. import fp8
             c3 = fp8._batched_dot(ap, bp).astype(jnp.int32)
@@ -271,10 +344,10 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
             acc = acc + part % mods                 # residues add mod p
         return (acc, *nxt)
 
-    a0, b0 = bcast(jnp.int32(0))
+    a0, b0 = bcast_fn(jnp.int32(0))
     acc0 = jnp.zeros((num_moduli, m_loc, n_loc), jnp.int32)
     acc, _, _ = jax.lax.fori_loop(0, steps, body, (acc0, a0, b0))
-    r = acc % mods                                  # steps*p/2 < 2^31 always
+    r = acc % mods                   # exact: acc_bound < 2^31 asserted above
     mid_t = jnp.int8 if backend == tables.Backend.INT8 else jnp.int16
     c_mid = jnp.where(2 * r >= mods, r - mods, r).astype(mid_t)
     return core.reconstruct_scale(c_mid, sft_a, sft_b, num_moduli, backend,
@@ -284,7 +357,8 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
 def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
                num_moduli: int = 8, fastmode: bool = True,
                backend: str = tables.Backend.INT8,
-               epilogue: str = "auto", k_panel: int | None = None) -> jax.Array:
+               epilogue: str = "auto", k_panel: int | None = None,
+               bcast: str = "ring") -> jax.Array:
     """Distributed emulated GEMM: C = A @ B over a 2D mesh.
 
     a: (m, k), b: (k, n); m, k divisible by mesh.x and k, n by mesh.y.
@@ -298,20 +372,49 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
     memory O(nu * m_loc * k_panel) instead of the full-K gather -- required
     for huge problems (e.g. 65536^3) whose gathered planes exceed HBM.
     k_panel must divide k/mesh.x and k/mesh.y and be <= 2^17.
+
+    bcast picks the streaming panel-broadcast algorithm: "ring" (default,
+    pipelined single-pair ppermute hops -- each ICI link carries each panel
+    once) or "psum" (masked all-reduce, ~2x the bytes, fewer sequential
+    hops). Bit-identical outputs either way.
     """
+    if bcast not in ("ring", "psum"):
+        raise ValueError(f"bcast must be 'ring' or 'psum', got {bcast!r}")
     if mesh is None:
         mesh = make_mesh()
     lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
     if not lo <= num_moduli <= hi:
         raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}]")
-    if fastmode and a.shape[1] > (1 << 18):
+    if fastmode and a.shape[1] > (1 << 33):
         raise ValueError(
-            "fast-mode distributed shifts support k <= 2^18 (exact int32 "
-            "norm pieces); use fastmode=False for larger k")
+            "fast-mode distributed shifts support k <= 2^33 (two-tier exact "
+            "int32 norm pieces); use fastmode=False for larger k")
 
     spec = P("x", "y")
-    a = jax.device_put(a, NamedSharding(mesh, spec))
-    b = jax.device_put(b, NamedSharding(mesh, spec))
+    tgt = NamedSharding(mesh, spec)
+
+    def _ensure_sharded(x):
+        """Accept already-sharded global arrays as-is (required for
+        multi-process meshes, where device_put of a host array onto
+        non-addressable devices is impossible); only single-process inputs
+        are resharded here."""
+        if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+            try:
+                if x.sharding.is_equivalent_to(tgt, x.ndim):
+                    return x
+            except Exception:
+                if x.sharding == tgt:
+                    return x
+            if not x.is_fully_addressable:
+                raise ValueError(
+                    "summa_gemm input spans processes but is not sharded "
+                    "P('x','y') over the given mesh; build it with "
+                    "jax.make_array_from_callback / device_put on that "
+                    "sharding first")
+        return jax.device_put(x, tgt)
+
+    a = _ensure_sharded(a)
+    b = _ensure_sharded(b)
     x_size, y_size = mesh.devices.shape
     k = a.shape[1]
     if k_panel is not None:
@@ -327,7 +430,7 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
         body = functools.partial(
             _summa_stream_local, num_moduli=num_moduli, fastmode=fastmode,
             backend=backend, epilogue=epilogue, k_panel=k_panel, k=k,
-            x_size=x_size, y_size=y_size)
+            x_size=x_size, y_size=y_size, bcast=bcast)
     else:
         body = functools.partial(_summa_local, num_moduli=num_moduli,
                                  fastmode=fastmode, backend=backend,
@@ -364,3 +467,35 @@ def summa_work_bytes(m: int, n: int, k: int, mesh_shape: tuple[int, int],
     epilogue = 2 * 4 * m_l * n_l                       # fused hi/lo f32 pair
     out = m_l * n_l * it
     return inputs + planes + panels + acc + c_mid + epilogue + out
+
+
+def summa_bytes_moved(m: int, n: int, k: int, mesh_shape: tuple[int, int],
+                      num_moduli: int, k_panel: int | None = None,
+                      bcast: str = "ring",
+                      backend: str = tables.Backend.INT8) -> int:
+    """Total collective plane bytes CROSSING LINKS per device (send side) for
+    one summa_gemm -- the ICI traffic model that motivates quantize-before-
+    communicate and the ring broadcast:
+
+      * gather path: ring all-gather moves (team-1)/team of the full gathered
+        planes per device on each axis;
+      * streaming "psum": a masked all-reduce moves ~2x the panel per device
+        (reduce-scatter + all-gather) per step;
+      * streaming "ring": each panel crosses each link exactly once --
+        (team-1)/team panel bytes per device per step, half of psum.
+
+    Shift/norm collectives (O(m+n) scalars) are negligible and excluded.
+    """
+    X, Y = mesh_shape
+    nu = num_moduli
+    plane_b = 6 if backend == tables.Backend.FP8 else 1
+    m_l, n_l = m // X, n // Y
+    if k_panel is None:
+        ag_a = (Y - 1) / Y * nu * m_l * k * plane_b
+        ag_b = (X - 1) / X * nu * k * n_l * plane_b
+        return int(ag_a + ag_b)
+    steps = k // k_panel
+    pan_a = nu * m_l * k_panel * plane_b
+    pan_b = nu * k_panel * n_l * plane_b
+    fac = 2.0 if bcast == "psum" else 1.0
+    return int(steps * fac * ((Y - 1) / Y * pan_a + (X - 1) / X * pan_b))

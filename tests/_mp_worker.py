@@ -1,0 +1,79 @@
+"""Worker process for the multi-process SUMMA tests (run via subprocess, not
+collected by pytest): joins a jax.distributed 2-process x 4-CPU-device
+cluster, builds the process-spanning global mesh, runs summa_gemm on
+globally-sharded arrays constructed WITHOUT any cross-process device_put,
+and checks every locally-addressable C shard bit-equals the single-device
+emulation of the same problem. Prints MP_OK on success.
+
+Env contract (set by tests/test_multiprocess.py):
+  G8_COORD  coordinator address host:port
+  G8_NPROC  number of processes
+  G8_PID    this process id
+  G8_MODE   gather | stream | accurate | robust
+"""
+import os
+import sys
+
+import numpy as np
+
+import jax
+
+# this image's sitecustomize pins JAX_PLATFORMS at boot; override in-script
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+jax.distributed.initialize(
+    coordinator_address=os.environ["G8_COORD"],
+    num_processes=int(os.environ["G8_NPROC"]),
+    process_id=int(os.environ["G8_PID"]),
+)
+
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from gemmul8_tpu.parallel import make_mesh, summa_gemm  # noqa: E402
+
+mode = os.environ["G8_MODE"]
+nproc = int(os.environ["G8_NPROC"])
+assert jax.process_count() == nproc
+assert jax.device_count() == 4 * nproc
+assert jax.local_device_count() == 4
+
+mesh = make_mesh()  # global (2, 4) mesh spanning both processes
+rng = np.random.default_rng(0)  # same seed everywhere: same global inputs
+m = k = n = 64
+a_h = rng.standard_normal((m, k))
+b_h = rng.standard_normal((k, n))
+sh = NamedSharding(mesh, P("x", "y"))
+# each process materializes only ITS addressable shards of the global arrays
+a = jax.make_array_from_callback((m, k), sh, lambda idx: a_h[idx])
+b = jax.make_array_from_callback((k, n), sh, lambda idx: b_h[idx])
+assert not a.is_fully_addressable  # genuinely process-spanning
+
+kw = {"num_moduli": 10, "fastmode": True}
+if mode == "stream":
+    kw["k_panel"] = 8
+elif mode == "accurate":
+    kw["fastmode"] = False
+elif mode == "robust":
+    kw["fastmode"] = "robust"
+c = summa_gemm(a, b, mesh=mesh, **kw)
+jax.block_until_ready(c)
+
+# single-DEVICE reference: the same SUMMA on a local 1x1 mesh, computed
+# independently by each process on its own device 0. Cross-process
+# bit-identity with this is the order-free design's whole claim.
+mesh1 = Mesh(np.asarray(jax.local_devices()[:1]).reshape(1, 1), ("x", "y"))
+ref = np.asarray(summa_gemm(jnp.asarray(a_h), jnp.asarray(b_h), mesh=mesh1,
+                            num_moduli=10, fastmode=kw["fastmode"]))
+
+for shard in c.addressable_shards:
+    got = np.asarray(shard.data)
+    want = ref[shard.index]
+    if not np.array_equal(got, want):
+        print(f"MISMATCH proc={os.environ['G8_PID']} shard={shard.index}: "
+              f"max abs diff {np.max(np.abs(got - want))}")
+        sys.exit(1)
+
+print("MP_OK", flush=True)
