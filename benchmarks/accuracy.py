@@ -24,6 +24,20 @@ def main():
     ap.add_argument("--fast", type=int, default=1)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--phis", default=None,
+                    help="comma list overriding the phi sweep (TPU subsets)")
+    ap.add_argument("--nus", default=None,
+                    help="comma list overriding the num_moduli sweep")
+    ap.add_argument("--ks", default=None,
+                    help="comma list overriding the k sweep")
+    ap.add_argument("--no-robust", action="store_true",
+                    help="skip the oz2-robust comparison rows")
+    ap.add_argument("--oracle-stored", action="store_true",
+                    help="evaluate the oracle on the DEVICE-STORED operand "
+                         "values (round-trip a/b through the device first). "
+                         "Required for a faithful error metric on TPUs whose "
+                         "f64 is an f32 pair (~48-bit mantissa): the emulator "
+                         "is exact w.r.t. stored values (NUMERICS.md §3)")
     args = ap.parse_args()
 
     import jax
@@ -40,8 +54,12 @@ def main():
                 "c64": range(3, 14), "c128": range(9, 21)}[args.dtype]
 
     m = n = 128
-    phis = [-1.0, 0.0, 0.5, 1.0, 2.0, 4.0]
-    ks = [1 << p for p in range(10, 24) if (1 << p) <= args.kmax]
+    phis = ([float(x) for x in args.phis.split(",")] if args.phis
+            else [-1.0, 0.0, 0.5, 1.0, 2.0, 4.0])
+    ks = ([int(x) for x in args.ks.split(",")] if args.ks
+          else [1 << p for p in range(10, 24) if (1 << p) <= args.kmax])
+    if args.nus:
+        nu_range = [int(x) for x in args.nus.split(",")]
 
     dev = jax.devices()[0].device_kind.replace(" ", "")
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
@@ -78,8 +96,19 @@ def main():
             a = gen(rng, m, k, phi)
             rng2 = np.random.default_rng(54321 + k)
             b = gen(rng2, k, n, phi)
+            if args.oracle_stored:
+                # round-trip through the device: on f32-pair-f64 TPUs the
+                # stored mantissa is ~48 bits; the oracle must see exactly
+                # what the emulator sees
+                a = np.asarray(jnp.asarray(a)).astype(np_dtype)
+                b = np.asarray(jnp.asarray(b)).astype(np_dtype)
             ref = oracle(a, b)
-            nat_max, nat_med = errs(a @ b, ref)
+            if jax.default_backend() == "cpu" or is_cplx:
+                c_nat = a @ b
+            else:
+                # the device's own native-path matmul is the comparison row
+                c_nat = np.asarray(jnp.asarray(a) @ jnp.asarray(b))
+            nat_max, nat_med = errs(c_nat, ref)
             rows_out.append([k, phi, "native", "", nat_max, nat_med])
             print(f"k={k} phi={phi} native: {nat_max:.3e}", file=sys.stderr)
             # alternative-emulation comparison rows (reference:
@@ -102,7 +131,7 @@ def main():
                 rows_out.append([k, phi, f"oz2-{'fast' if args.fast else 'accu'}",
                                  nu, emax, emed])
                 print(f"k={k} phi={phi} nu={nu}: {emax:.3e}", file=sys.stderr)
-                if args.fast:
+                if args.fast and not args.no_robust:
                     # the scale-invariant fast variant next to the
                     # reference-formula row
                     cr = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b),

@@ -187,13 +187,9 @@ def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
     pb = _quantize_complex(br, bi, sft_b, 1, num_moduli, backend, conj=conj_b)
 
     k = ar.shape[1]
-    # nu <= 16: the 3*nu-wrap dual-CRT kernel body grows ~3x faster than the
-    # real one and Mosaic compile time becomes pathological near nu=20;
-    # larger nu takes the unfused chain (correct, slower -- rare corner)
     use_fused = (core.resolve_epilogue(epilogue) == "ff"
                  and jax.default_backend() != "cpu"
                  and backend == tables.Backend.INT8
-                 and num_moduli <= 16
                  and k <= core.K_CHUNK
                  and ar.shape[0] % 128 == 0 and br.shape[1] % 128 == 0)
     if use_fused:
@@ -202,8 +198,21 @@ def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
         c_hi3 = core.residue_matmul(pa.reshape(3 * nu, *pa.shape[2:]),
                                     pb.reshape(3 * nu, *pb.shape[2:]))
         out_bits = 53 if np.dtype(real_dt).itemsize == 8 else 24
-        hire, lore, hiim, loim = pk.fused_epilogue_complex(
-            c_hi3, sft_a, sft_b, nu, backend, out_bits)
+        if nu <= 16:
+            # single kernel: wrap + 3M recombine + dual CRT + descale
+            hire, lore, hiim, loim = pk.fused_epilogue_complex(
+                c_hi3, sft_a, sft_b, nu, backend, out_bits)
+        else:
+            # nu > 16 (ZGEMM accuracy settings 17..20): the 3*nu-wrap
+            # dual-CRT single body is pathological for Mosaic's compiler, so
+            # SPLIT: fused wrap+recombine emitting wrapped int8 residues,
+            # then two passes of the real CRT epilogue (bit-identical --
+            # its wrap is value-identity on wrapped inputs)
+            re_mid, im_mid = pk.fused_recombine_3m(c_hi3, nu, backend)
+            hire, lore = pk.fused_epilogue(re_mid, sft_a, sft_b, nu,
+                                           backend, out_bits)
+            hiim, loim = pk.fused_epilogue(im_mid, sft_a, sft_b, nu,
+                                           backend, out_bits)
         if out_bits == 24:
             ab_r = (hire + lore).astype(real_dt)
             ab_i = (hiim + loim).astype(real_dt)

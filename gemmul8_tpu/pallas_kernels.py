@@ -115,13 +115,13 @@ def _encode_kernel(sft_ref, c0_ref, c1_ref, out_ref, *, num_moduli, n_limbs,
                 acc = acc + limbs[lv] * i32(ws[lv])
         # acc mod p without integer division: |acc| <= n_limbs*2^19*p/2 < 2^28,
         # f32 rounds acc by <= 16, so q = rint(acc/p) is within ~0.6 of the
-        # real quotient; one correction each side lands r in [0, p)
+        # real quotient => |acc - q*p| <= ~1.1p; two BALANCED corrections
+        # land the unique representative in [-p/2, p/2) directly
         q = jnp.rint(acc.astype(jnp.float32) * np.float32(1.0 / ws[-1])
                      ).astype(jnp.int32)
         r = acc - q * p
-        r = jnp.where(r < i32(0), r + p, r)
-        r = jnp.where(r >= p, r - p, r)
         r = jnp.where(i32(2) * r >= p, r - p, r)
+        r = jnp.where(i32(2) * r < -p, r + p, r)
         out_ref[i, :, :] = r.astype(jnp.int8)
 
 
@@ -237,22 +237,12 @@ def _wrap_full(acc, p_int, w2, inv, shift=16):
     acc_lo = acc - jnp.left_shift(acc_hi, i32(shift))      # in [0, 2^shift)
     t = acc_hi * i32(w2) + acc_lo                          # f32-exact range
     q = jnp.rint(t.astype(jnp.float32) * np.float32(inv)).astype(jnp.int32)
-    r = t - q * p
-    r = jnp.where(r < i32(0), r + p, r)
-    r = jnp.where(r >= p, r - p, r)
-    r = jnp.where(i32(2) * r >= p, r - p, r)               # [-p/2, p/2)
-    return r
-
-
-def _mod_pos(x, p_int, inv):
-    """x mod p in [0, p) for f32-exact |x| (< 2^23): rint division + two
-    corrections."""
-    i32 = np.int32
-    p = i32(p_int)
-    q = jnp.rint(x.astype(jnp.float32) * np.float32(inv)).astype(jnp.int32)
-    r = x - q * p
-    r = jnp.where(r < i32(0), r + p, r)
-    r = jnp.where(r >= p, r - p, r)
+    r = t - q * p                                          # |r| <= ~1.1p
+    # two BALANCED corrections land the unique representative in
+    # [-p/2, p/2) directly (one fewer select than the positive-range route;
+    # same value -- the representative is unique)
+    r = jnp.where(i32(2) * r >= p, r - p, r)
+    r = jnp.where(i32(2) * r < -p, r + p, r)
     return r
 
 
@@ -332,8 +322,11 @@ def _epilogue_kernel(sfta_ref, sftb_ref, chi_ref, hi_ref, lo_ref, *,
     p16[li] = 16-bit slice of P >> base; descale = (s1, s2) static per-limb
     power-of-two factor pair.
     """
-    rs = [_wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], 1.0 / mods[i],
-                     shift) for i in range(num_moduli)]
+    # chi may be int32 C_hi (wrap needed) or already-wrapped int8/int16
+    # residues from fused_recombine_3m (the wrap is then value-identical:
+    # _wrap_full returns the unique representative in [-p/2, p/2))
+    rs = [_wrap_full(chi_ref[i, :, :].astype(jnp.int32), mods[i], w2_16[i],
+                     1.0 / mods[i], shift) for i in range(num_moduli)]
     limbs = _crt_limbs_from_res(rs, w16, p16, L, invp_top, num_moduli)
     factors = _descale_factors(sfta_ref[:], sftb_ref[:])
     hi, lo = _descale_emit(limbs, factors, descale, L)
@@ -611,6 +604,79 @@ def fused_epilogue_complex(c_hi3, sft_a, sft_b, num_moduli: int, backend: str,
         out_shape=[jax.ShapeDtypeStruct((m, n), jnp.float32)] * 4,
         interpret=jax.default_backend() == "cpu",
     )(sft_a.reshape(m, 1), sft_b.reshape(1, n), c_hi3)
+
+
+def _recombine_kernel_cplx(chi_ref, re_ref, im_ref, *, num_moduli, mods,
+                           w2_16, shift):
+    """Wrap the 3 lane products and 3M-recombine in residue space, emitting
+    wrapped int8 (Re, Im) residue planes. The lane math is op-for-op the
+    same as _epilogue_kernel_cplx's, so feeding these planes through the
+    REAL fused_epilogue (whose wrap is value-identity on wrapped inputs)
+    reproduces the single-kernel complex epilogue bit-for-bit."""
+    i32 = np.int32
+    for i in range(num_moduli):
+        p = i32(mods[i])
+        inv = 1.0 / mods[i]
+        crr = _wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], inv, shift)
+        cii = _wrap_full(chi_ref[num_moduli + i, :, :], mods[i], w2_16[i],
+                         inv, shift)
+        cri = _wrap_full(chi_ref[2 * num_moduli + i, :, :], mods[i],
+                         w2_16[i], inv, shift)
+        re = crr - cii                                    # in (-p, p)
+        re = jnp.where(i32(2) * re >= p, re - p, re)
+        re = jnp.where(i32(2) * re < -p, re + p, re)
+        im = cri - crr - cii                              # in (-3p/2, 3p/2)
+        im = jnp.where(i32(2) * im >= p, im - p, im)
+        im = jnp.where(i32(2) * im >= p, im - p, im)
+        im = jnp.where(i32(2) * im < -p, im + p, im)
+        im = jnp.where(i32(2) * im < -p, im + p, im)
+        re_ref[i, :, :] = re.astype(jnp.int8)
+        im_ref[i, :, :] = im.astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("num_moduli", "backend"))
+def fused_recombine_3m(c_hi3, num_moduli: int, backend: str):
+    """Pallas-fused wrap + 3M recombine: (3*nu, m, n) int32 lane products ->
+    (re, im) wrapped int8 residue planes, each (nu, m, n).
+
+    First stage of the SPLIT complex epilogue used for nu > 16, where the
+    single 3*nu-wrap dual-CRT kernel body makes Mosaic compile time
+    pathological: this kernel keeps only the wraps + recombine, and the two
+    CRT+descale passes reuse the real fused_epilogue (reference analog:
+    conv_hi2mid_complex.hpp:9-40 as a separate kernel from
+    inverse_scaling_complex.hpp)."""
+    mods, w2_16, _w16, _p16, _L, _invp, _base, _desc, shift = _epilogue_plan(
+        num_moduli, backend, 53)
+    m, n = c_hi3.shape[1], c_hi3.shape[2]
+    bm = bn = 256
+    bytes_per = (2 * 3 * num_moduli * 4 + 2 * 2 * num_moduli + 24)
+    while bm * bn * bytes_per > 11 << 20 and (bm > 64 or bn > 128):
+        if bm >= bn and bm > 64:
+            bm //= 2
+        elif bn > 128:
+            bn //= 2
+        else:
+            break
+    bm = min(bm, m)
+    bn = min(bn, n)
+    if m % bm or n % bn:
+        bm = min(64, m)
+        bn = min(128, n)
+    grid = (m // bm, n // bn)
+    kernel = functools.partial(_recombine_kernel_cplx, num_moduli=num_moduli,
+                               mods=mods, w2_16=w2_16, shift=shift)
+    out_spec = pl.BlockSpec((num_moduli, bm, bn), lambda i, j: (i * 0, i, j),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((3 * num_moduli, bm, bn),
+                               lambda i, j: (i * 0, i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((num_moduli, m, n), jnp.int8)] * 2,
+        interpret=jax.default_backend() == "cpu",
+    )(c_hi3)
 
 
 # ---------------------------------------------------------------------------

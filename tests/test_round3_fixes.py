@@ -149,6 +149,55 @@ def test_pick_blocking_model():
     assert work_bytes(mb2, nb2, 32768, 16) <= budget
 
 
+def test_split_complex_epilogue_bit_identity():
+    """The SPLIT complex epilogue for nu > 16 (fused wrap+3M-recombine ->
+    two real CRT epilogue passes) is bit-identical to the single-kernel
+    fused complex epilogue AND to the unfused chain -- the wrap in the real
+    epilogue is value-identity on already-wrapped residues."""
+    from gemmul8_tpu import complex_gemm, ff
+    from gemmul8_tpu import pallas_kernels as pk
+
+    rng = np.random.default_rng(61)
+    for nu, out_bits, dt in [(20, 53, jnp.float64), (17, 53, jnp.float64),
+                             (10, 53, jnp.float64)]:
+        m = n = k = 128
+        ar = jnp.asarray(rng.standard_normal((m, k)), dt)
+        ai = jnp.asarray(rng.standard_normal((m, k)), dt)
+        br = jnp.asarray(rng.standard_normal((k, n)), dt)
+        bi = jnp.asarray(rng.standard_normal((k, n)), dt)
+        sa = complex_gemm._shift_complex_fast(ar, ai, nu, "INT8", 1)
+        sb = complex_gemm._shift_complex_fast(br, bi, nu, "INT8", 0)
+        pa = complex_gemm._quantize_complex(ar, ai, sa, 0, nu, "INT8", False)
+        pb = complex_gemm._quantize_complex(br, bi, sb, 1, nu, "INT8", False)
+        c3 = core.residue_matmul(pa.reshape(3 * nu, m, k),
+                                 pb.reshape(3 * nu, k, n))
+        # split path
+        re_mid, im_mid = pk.fused_recombine_3m(c3, nu, "INT8")
+        hire, lore = pk.fused_epilogue(re_mid, sa, sb, nu, "INT8", out_bits)
+        hiim, loim = pk.fused_epilogue(im_mid, sa, sb, nu, "INT8", out_bits)
+        # single-kernel fused path
+        shire, slore, shiim, sloim = pk.fused_epilogue_complex(
+            c3, sa, sb, nu, "INT8", out_bits)
+        for x, y in [(hire, shire), (lore, slore), (hiim, shiim),
+                     (loim, sloim)]:
+            np.testing.assert_array_equal(
+                np.asarray(x).view(np.int32), np.asarray(y).view(np.int32))
+        # unfused chain
+        mids = jax.vmap(lambda x, y: core.residue_gemm(x, y, nu, "INT8"))(
+            pa, pb)
+        mid_r, mid_i = complex_gemm._recombine_3m(mids, nu, "INT8")
+        np.testing.assert_array_equal(np.asarray(re_mid),
+                                      np.asarray(mid_r))
+        np.testing.assert_array_equal(np.asarray(im_mid),
+                                      np.asarray(mid_i))
+        for (hi, lo), mid in (((hire, lore), mid_r), ((hiim, loim), mid_i)):
+            limbs, base = ff.crt_limbs_matrix(mid, nu, "INT8", out_bits)
+            ref = ff.descale_accel(limbs, base, 16, sa, sb, out_bits, dt)
+            fused = hi.astype(dt) + lo.astype(dt)
+            iv = jnp.int64 if out_bits == 53 else jnp.int32
+            assert bool(jnp.all(fused.view(iv) == ref.view(iv))), (nu,)
+
+
 def test_gemm_batched_dtype_mismatch_raises():
     a = jnp.zeros((2, 4, 4), jnp.float32)
     b = jnp.zeros((2, 4, 4), jnp.float64)
