@@ -52,12 +52,24 @@ def main():
 
     for s in [int(x) for x in args.sizes.split(",")]:
         m = n = k = s
-        a = jax.jit(lambda key: jax.random.normal(key, (m, k), jnp.float64))(
-            jax.random.PRNGKey(0))
-        b = jax.jit(lambda key: jax.random.normal(key, (k, n), jnp.float64))(
-            jax.random.PRNGKey(1))
-        a.block_until_ready()
-        b.block_until_ready()
+        # first-contact retry: the tunneled worker can hold a previous
+        # client's buffers for minutes after it exits; back off until the
+        # stale state is released rather than dying on RESOURCE_EXHAUSTED
+        for attempt in range(12):
+            try:
+                a = jax.jit(lambda key: jax.random.normal(
+                    key, (m, k), jnp.float64))(jax.random.PRNGKey(0))
+                b = jax.jit(lambda key: jax.random.normal(
+                    key, (k, n), jnp.float64))(jax.random.PRNGKey(1))
+                a.block_until_ready()
+                b.block_until_ready()
+                break
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 11:
+                    raise
+                print(f"device memory not yet released (attempt {attempt}); "
+                      f"waiting 60 s", file=sys.stderr)
+                time.sleep(60)
         for nu in [int(x) for x in args.nu.split(",")]:
             mb, nb = core.pick_blocking(m, n, k, nu, jnp.float64,
                                         budget_bytes=budget)
