@@ -5,6 +5,7 @@ results and a selectable num_moduli accuracy/speed dial. A from-scratch
 JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md).
 """
 from . import compare, tables
+from .accuracy_model import choose_moduli, modeled_max_rel_err
 from .config import GemmConfig, env_config
 from .complex_gemm import gemm_planar
 from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
@@ -18,5 +19,6 @@ __all__ = [
     "gemm", "matmul", "syrk", "gemm_batched", "gemm_quantized", "precompute",
     "QuantizedOperand", "work_bytes", "gemm_with_phases", "gemm_planar",
     "Backend", "GemmConfig", "env_config", "tables", "compare",
+    "choose_moduli", "modeled_max_rel_err",
     "emulate", "install", "refresh", "uninstall",
 ]
