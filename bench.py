@@ -161,13 +161,16 @@ def watchdog():
     try_timeout = float(os.environ.get("G8_BENCH_TRY_TIMEOUT", "1500"))
     retry_sleep = float(os.environ.get("G8_BENCH_RETRY_SLEEP", "300"))
     env = dict(os.environ, G8_BENCH_CHILD="1")
+    # test hook: run this argv instead of re-execing bench.py
+    child_cmd = os.environ.get("G8_BENCH_CHILD_CMD")
+    argv = (child_cmd.split("\x1f") if child_cmd
+            else [sys.executable, os.path.abspath(__file__)])
     for attempt in range(tries):
         try:
             # stderr inherited (diagnostics stream live); stdout captured so
             # the parent re-emits exactly one JSON line on success
             res = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)], env=env,
-                stdout=subprocess.PIPE, timeout=try_timeout)
+                argv, env=env, stdout=subprocess.PIPE, timeout=try_timeout)
         except subprocess.TimeoutExpired as e:
             log(f"bench child hung >{try_timeout:.0f}s (attempt {attempt}); "
                 f"killed; sleeping {retry_sleep:.0f}s for worker release")
