@@ -11,7 +11,7 @@ from .complex_gemm import gemm_planar
 from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
                    gemm_with_phases, matmul, precompute, syrk, work_bytes)
 from .hook import emulate, install, refresh, uninstall
-from .solvers import getrf, lu_solve, solve, trmm, trsm
+from .solvers import getrf, lu_solve, potrf, solve, trmm, trsm
 from .tables import Backend
 
 __version__ = "0.2.0"
@@ -21,6 +21,6 @@ __all__ = [
     "QuantizedOperand", "work_bytes", "gemm_with_phases", "gemm_planar",
     "Backend", "GemmConfig", "env_config", "tables", "compare",
     "choose_moduli", "modeled_max_rel_err",
-    "trsm", "trmm", "getrf", "lu_solve", "solve",
+    "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf",
     "emulate", "install", "refresh", "uninstall",
 ]

@@ -472,7 +472,7 @@ def _syrk(a, *, num_moduli, fastmode, backend, trans, epilogue):
 
 
 def syrk(a: jax.Array, *, trans: bool = False, num_moduli: int = 8,
-         fastmode: bool = True, backend: str = tables.Backend.INT8,
+         fastmode="robust", backend: str = tables.Backend.INT8,
          alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
          epilogue: str = "auto") -> jax.Array:
     """Emulated symmetric rank-k update: C = alpha * A @ A.T + beta * C
@@ -483,6 +483,12 @@ def syrk(a: jax.Array, *, trans: bool = False, num_moduli: int = 8,
     operand plane sets are one encode plus a transpose view, halving the
     encode phase versus gemm(a, a.T). Exactly equal to gemm(a, a.T, ...)
     with shared row/col shifts; bit-reproducible like gemm.
+
+    fastmode defaults to "robust" (unlike gemm): a Gram product's diagonal
+    hits the Cauchy-Schwarz bound with equality (a_i . a_i = ||a_i||^2), the
+    exact case where the reference fast formula's probabilistic slack can
+    silently wrap the CRT at specific num_moduli. The robust shifts bound
+    the product rigorously at the same speed (see solvers module docstring).
     """
     a = jnp.asarray(a)
     if a.ndim != 2:

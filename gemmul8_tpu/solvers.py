@@ -18,6 +18,16 @@ substitution code path.
 Numerical contract: with num_moduli at the dtype's f64/f32-equivalent
 setting, results match a full-precision blocked solver to the emulator's
 accuracy; all paths are bit-reproducible for fixed shapes/config like gemm.
+
+fastmode defaults to "robust" here (NOT the reference fast formula that
+gemm defaults to): factorization updates are Gram-type products
+(L @ L.T in potrf; Schur complements correlate as the factorization
+proceeds) that hit the Cauchy-Schwarz bound with EQUALITY, where the
+reference formula's probabilistic slack can silently wrap the CRT at
+specific num_moduli (measured: a Cholesky-factor Gram product at nu=14
+wraps |C| to 1.4x P/2 -> rel err 0.28). The "robust" scale-invariant
+shifts bound |C| <= P/16 rigorously at any scale (NUMERICS.md par.3b) at
+identical speed. Pass fastmode=True to get reference-parity shifts.
 """
 import functools
 from typing import Optional
@@ -29,7 +39,7 @@ import numpy as np
 from . import tables
 from .core import gemm
 
-__all__ = ["trsm", "trmm", "getrf", "lu_solve", "solve"]
+__all__ = ["trsm", "trmm", "getrf", "lu_solve", "solve", "potrf"]
 
 
 def _check_real_2d(x, name):
@@ -49,6 +59,42 @@ def _default_block(n: int) -> int:
     # large enough that the update GEMMs dominate, small enough that the
     # native diagonal solves stay O(n * block^2) noise
     return max(32, min(512, n))
+
+
+def _check_mesh_blocking(mesh, n_or_shape, blk, name):
+    """Distributed updates route through SUMMA, which shards every GEMM dim
+    over the mesh: block and every block boundary must divide both mesh
+    axes. Enforced upfront so failures name the constraint, not a shape."""
+    if mesh is None:
+        return
+    mx, my = mesh.devices.shape
+    dims = (n_or_shape,) if isinstance(n_or_shape, int) else tuple(n_or_shape)
+    bad = blk % mx or blk % my or any(d % blk for d in dims)
+    if bad:
+        raise ValueError(
+            f"{name} with mesh {mx}x{my} needs block divisible by both mesh "
+            f"axes and dims divisible by block; got block={blk}, dims={dims}")
+
+
+def _schur_update(a_blk, b_blk, c_blk, *, mesh, num_moduli, fastmode,
+                  backend):
+    """c_blk - a_blk @ b_blk, emulated; distributed over `mesh` when given.
+
+    The SUMMA product is bit-identical ACROSS MESH SHAPES (order-free
+    shift/reduction design, tests/test_parallel.py) and the trailing
+    subtraction is elementwise, so the factorization is bit-reproducible
+    across mesh shapes. It is NOT bit-identical to the mesh=None path:
+    local updates use gemm's fused alpha=-1/beta=1 epilogue while SUMMA's
+    distributed shift computation rounds the last bit differently (same
+    quality class -- tests/test_parallel.py:30-33).
+    """
+    if mesh is None:
+        return gemm(a_blk, b_blk, num_moduli=num_moduli, fastmode=fastmode,
+                    backend=backend, alpha=-1.0, beta=1.0, c=c_blk)
+    from .parallel import summa_gemm
+    prod = summa_gemm(a_blk, b_blk, mesh=mesh, num_moduli=num_moduli,
+                      fastmode=fastmode, backend=backend)
+    return c_blk - prod
 
 
 def _tri_solve_native(t, rhs, *, unit_diag: bool):
@@ -121,7 +167,7 @@ def _flip2(x):
 
 def trsm(a: jax.Array, b: jax.Array, *, side: str = "left",
          lower: bool = True, trans_a=False, unit_diag: bool = False,
-         alpha=1.0, num_moduli: int = 8, fastmode=True,
+         alpha=1.0, num_moduli: int = 8, fastmode="robust",
          backend: str = tables.Backend.INT8,
          block: Optional[int] = None) -> jax.Array:
     """Triangular solve with the O(n^3) updates on the int8 MXU.
@@ -168,7 +214,7 @@ def trsm(a: jax.Array, b: jax.Array, *, side: str = "left",
 
 def trmm(a: jax.Array, b: jax.Array, *, side: str = "left",
          lower: bool = True, trans_a=False, unit_diag: bool = False,
-         alpha=1.0, num_moduli: int = 8, fastmode=True,
+         alpha=1.0, num_moduli: int = 8, fastmode="robust",
          backend: str = tables.Backend.INT8,
          block: Optional[int] = None) -> jax.Array:
     """Triangular matrix product alpha * op(A) @ B (or B @ op(A)).
@@ -208,9 +254,68 @@ def trmm(a: jax.Array, b: jax.Array, *, side: str = "left",
     return out
 
 
-def getrf(a: jax.Array, *, num_moduli: int = 8, fastmode=True,
+def potrf(a: jax.Array, *, lower: bool = True, num_moduli: int = 8,
+          fastmode="robust", backend: str = tables.Backend.INT8,
+          block: Optional[int] = None, mesh=None) -> jax.Array:
+    """Blocked Cholesky factorization A = L @ L.T of an SPD matrix.
+
+    Returns L lower-triangular (upper R = L.T when lower=False; A = R.T R).
+    With `mesh` (a 2-D jax.sharding.Mesh), every block-column update GEMM --
+    the O(n^3) bulk -- runs distributed through :func:`summa_gemm` (int8
+    residue planes over ICI); results are bit-identical across mesh shapes.
+    Left-looking blocked algorithm: the O(n^3) bulk -- the update of each
+    block column against ALL finished columns, done as ONE emulated GEMM
+    L[lo:, :lo] @ L[lo:hi, :lo].T covering the diagonal block and the
+    subdiagonal panel together -- runs on the int8 MXU; only the
+    block-diagonal Cholesky factorizations (O(n * block^2)) run natively.
+    The subdiagonal panels come from the emulated substitution (trsm core).
+    LAPACK dpotrf analog on the emulated engine.
+    """
+    a = jnp.asarray(a)
+    _check_real_2d(a, "A")
+    n = a.shape[0]
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"A must be square, got {a.shape}")
+    blk = block or _default_block(n)
+    _check_mesh_blocking(mesh, n, blk, "potrf")
+    cols = []  # finished L block columns, each (n - lo, width)
+    for (lo, hi) in _blocks(n, blk):
+        # symmetric + panel update against all finished columns, as ONE
+        # GEMM over the concatenated panel: rows lo:, columns :lo of L
+        blk_col = a[lo:, lo:hi]
+        if lo > 0:
+            left = jnp.concatenate(
+                [c[lo - s:] for (s, c) in cols], axis=1) if len(cols) > 1 \
+                else cols[0][1][lo - cols[0][0]:]
+            # rows lo:hi of L(:, :lo) for the transposed side
+            top = left[:hi - lo]
+            blk_col = _schur_update(left, top.T, blk_col, mesh=mesh,
+                                    num_moduli=num_moduli, fastmode=fastmode,
+                                    backend=backend)
+        diag = jax.lax.linalg.cholesky(
+            jnp.tril(blk_col[:hi - lo]) +
+            jnp.tril(blk_col[:hi - lo], -1).T)
+        if hi < n:
+            # L21 = A21 @ L11^{-T}: right-sided lower-transposed solve via
+            # the ONE lower-left substitution path (X L11^T = B  <=>
+            # L11 X^T = B^T, already lower => no flips, no extra emulation)
+            l21 = _trsm_lower_left(
+                diag, blk_col[hi - lo:].T, unit_diag=False,
+                num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+                block=blk).T
+            colblk = jnp.concatenate([jnp.tril(diag), l21], axis=0)
+        else:
+            colblk = jnp.tril(diag)
+        cols.append((lo, colblk))
+    out = jnp.zeros((n, n), a.dtype)
+    for (lo, c) in cols:
+        out = out.at[lo:, lo:lo + c.shape[1]].set(c)
+    return out.T if not lower else out
+
+
+def getrf(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
           backend: str = tables.Backend.INT8,
-          block: Optional[int] = None):
+          block: Optional[int] = None, mesh=None):
     """Blocked right-looking LU with partial pivoting, PA = LU.
 
     Returns (lu, perm): `lu` packs L (unit lower) and U like LAPACK dgetrf;
@@ -222,12 +327,18 @@ def getrf(a: jax.Array, *, num_moduli: int = 8, fastmode=True,
     solves and every trailing Schur update A22 -= L21 @ U12 -- the O(n^3)
     bulk -- run through the emulated GEMM. This is the HPL-MxP-style
     mixed-precision LU mapped onto the int8 MXU.
+
+    With `mesh` (a 2-D jax.sharding.Mesh), the Schur updates run distributed
+    through :func:`summa_gemm` (int8 residue planes over ICI, order-free
+    exact reduction); factorizations are bit-identical across mesh shapes.
+    Panel LU and the O(n^2 * block) substitutions stay local.
     """
     a = jnp.asarray(a)
     _check_real_2d(a, "A")
     m, n = a.shape
     kmin = min(m, n)
     blk = block or _default_block(kmin)
+    _check_mesh_blocking(mesh, (m, n), blk, "getrf")
     # absolute permutation carried as perm[i] = original row index now at i
     perm = jnp.arange(m, dtype=jnp.int32)
     for lo in range(0, kmin, blk):
@@ -250,15 +361,15 @@ def getrf(a: jax.Array, *, num_moduli: int = 8, fastmode=True,
             a = a.at[lo:hi, hi:].set(u12)
             if hi < m:
                 # Schur: A22 -= L21 @ U12 (the emulated O(n^3) bulk)
-                upd = gemm(a[hi:, lo:hi], u12, num_moduli=num_moduli,
-                           fastmode=fastmode, backend=backend,
-                           alpha=-1.0, beta=1.0, c=a[hi:, hi:])
+                upd = _schur_update(a[hi:, lo:hi], u12, a[hi:, hi:],
+                                    mesh=mesh, num_moduli=num_moduli,
+                                    fastmode=fastmode, backend=backend)
                 a = a.at[hi:, hi:].set(upd)
     return a, perm
 
 
 def lu_solve(lu: jax.Array, perm: jax.Array, b: jax.Array, *,
-             num_moduli: int = 8, fastmode=True,
+             num_moduli: int = 8, fastmode="robust",
              backend: str = tables.Backend.INT8,
              block: Optional[int] = None) -> jax.Array:
     """Solve A @ X = B from getrf's (lu, perm): permute, then two trsm."""
@@ -275,7 +386,7 @@ def lu_solve(lu: jax.Array, perm: jax.Array, b: jax.Array, *,
     return x[:, 0] if squeeze else x
 
 
-def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode=True,
+def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode="robust",
           backend: str = tables.Backend.INT8, block: Optional[int] = None,
           refine_steps: int = 0,
           residual_moduli: Optional[int] = None) -> jax.Array:

@@ -218,18 +218,19 @@ def test_syrk_matches_gemm_bitwise():
     in both modes -- the residue-plane reuse is exact, not approximate."""
     rng = np.random.default_rng(21)
     a = jnp.asarray(rng.standard_normal((48, 96)))
-    for fast in (True, False):
+    for fast in (True, False, "robust"):
         s = np.asarray(core.syrk(a, num_moduli=12, fastmode=fast))
         g = np.asarray(core.gemm(a, a.T, num_moduli=12, fastmode=fast))
         np.testing.assert_array_equal(s, g)
-    # trans=True: A.T @ A
+    # trans=True: A.T @ A (syrk defaults to "robust" -- Gram safety)
     st = np.asarray(core.syrk(a, trans=True, num_moduli=12))
-    gt = np.asarray(core.gemm(a.T, a, num_moduli=12))
+    gt = np.asarray(core.gemm(a.T, a, num_moduli=12, fastmode="robust"))
     np.testing.assert_array_equal(st, gt)
     # alpha/beta epilogue
     c = jnp.asarray(rng.standard_normal((48, 48)))
     sab = np.asarray(core.syrk(a, num_moduli=12, alpha=-1.5, beta=2.0, c=c))
-    ref = -1.5 * np.asarray(core.gemm(a, a.T, num_moduli=12)) + 2.0 * np.asarray(c)
+    ref = -1.5 * np.asarray(core.gemm(a, a.T, num_moduli=12,
+                                      fastmode="robust")) + 2.0 * np.asarray(c)
     assert np.max(np.abs(sab - ref)) < 1e-12
     # validation
     with pytest.raises(NotImplementedError):

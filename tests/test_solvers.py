@@ -216,3 +216,144 @@ def test_solvers_reject_complex_and_bad_shapes():
         solvers.trsm(jnp.ones((4, 4)), jnp.ones((4, 2)), side="up")
     with pytest.raises(TypeError):
         solvers.trsm(jnp.ones((4, 4), jnp.float32), jnp.ones((4, 2)))
+
+
+# ---------------------------------------------------------------------------
+# potrf
+# ---------------------------------------------------------------------------
+
+def _spd(rng, n, dtype=np.float64):
+    g = rng.standard_normal((n, n)).astype(dtype)
+    return (g @ g.T) / n + np.eye(n, dtype=dtype) * 2
+
+
+@pytest.mark.parametrize("n,block", [(96, 32), (120, 32), (64, 64)])
+def test_potrf_reconstructs(n, block):
+    rng = _rng(11)
+    a = _spd(rng, n)
+    l = np.asarray(solvers.potrf(jnp.asarray(a), num_moduli=14, block=block))
+    assert np.allclose(np.triu(l, 1), 0)
+    err = np.max(np.abs(l @ l.T - a)) / np.max(np.abs(a))
+    assert err < 1e-13, err
+
+
+def test_potrf_upper():
+    rng = _rng(12)
+    a = _spd(rng, 96)
+    r = np.asarray(solvers.potrf(jnp.asarray(a), lower=False,
+                                 num_moduli=14, block=32))
+    assert np.allclose(np.tril(r, -1), 0)
+    err = np.max(np.abs(r.T @ r - a)) / np.max(np.abs(a))
+    assert err < 1e-13, err
+
+
+def test_potrf_matches_native_cholesky():
+    rng = _rng(13)
+    a = _spd(rng, 96)
+    l = np.asarray(solvers.potrf(jnp.asarray(a), num_moduli=14, block=32))
+    ref = np.linalg.cholesky(a)
+    assert np.max(np.abs(l - ref)) / np.max(np.abs(ref)) < 1e-12
+
+
+def test_potrf_solve_roundtrip():
+    # potrf + two trsm = an SPD solve entirely on the emulated engine
+    rng = _rng(14)
+    n = 96
+    a = _spd(rng, n)
+    b = rng.standard_normal((n, 5))
+    l = solvers.potrf(jnp.asarray(a), num_moduli=14, block=32)
+    y = solvers.trsm(l, jnp.asarray(b), lower=True, num_moduli=14, block=32)
+    x = np.asarray(solvers.trsm(l, y, lower=True, trans_a=True,
+                                num_moduli=14, block=32))
+    resid = np.max(np.abs(a @ x - b)) / np.max(np.abs(b))
+    assert resid < 1e-12, resid
+
+
+def test_potrf_nu_dial_and_reproducible():
+    rng = _rng(15)
+    a = _spd(rng, 96)
+    l6 = np.asarray(solvers.potrf(jnp.asarray(a), num_moduli=6, block=32))
+    l14 = np.asarray(solvers.potrf(jnp.asarray(a), num_moduli=14, block=32))
+    e6 = np.max(np.abs(l6 @ l6.T - a))
+    e14 = np.max(np.abs(l14 @ l14.T - a))
+    assert e14 < e6  # accuracy dial carries through the factorization
+    again = np.asarray(solvers.potrf(jnp.asarray(a), num_moduli=6, block=32))
+    assert np.array_equal(l6, again)
+
+
+def test_potrf_rejects_nonsquare():
+    with pytest.raises(ValueError):
+        solvers.potrf(jnp.ones((4, 3)))
+
+
+def test_gram_products_wrap_reference_fastmode():
+    """Why the solver layer defaults fastmode="robust": Gram products
+    (L @ L.T) hit Cauchy-Schwarz with equality on the diagonal, where the
+    reference fast-shift formula's probabilistic slack wraps the CRT at
+    specific num_moduli. Verified by exact integer arithmetic: at nu=14 the
+    quantized diagonal product reaches ~1.4x P/2. Robust shifts bound
+    |C| <= P/16 rigorously and stay exact."""
+    from gemmul8_tpu import gemm
+    rng = _rng(11)
+    n = 96
+    a = _spd(rng, n)
+    left = np.linalg.cholesky(a)[64:, :64]
+    ref = left @ left.T
+    lj = jnp.asarray(left)
+    bad = np.max(np.abs(np.asarray(
+        gemm(lj, lj, trans_b=True, num_moduli=14, fastmode=True)) - ref))
+    good = np.max(np.abs(np.asarray(
+        gemm(lj, lj, trans_b=True, num_moduli=14, fastmode="robust")) - ref))
+    assert bad > 1e-4          # the reference formula wraps (parity behavior)
+    assert good < 1e-13        # robust does not
+
+
+# ---------------------------------------------------------------------------
+# distributed Schur updates (mesh=)
+# ---------------------------------------------------------------------------
+
+def _mesh_of(x, y):
+    import jax
+    from jax.sharding import Mesh
+    devs = np.asarray(jax.devices()[: x * y]).reshape(x, y)
+    return Mesh(devs, ("x", "y"))
+
+
+def test_getrf_distributed_bit_identical_across_meshes():
+    """LU with Schur updates through SUMMA: same bits on every mesh shape
+    (order-free residue reduction), and the same quality as local getrf."""
+    rng = _rng(31)
+    n = 128
+    a = rng.standard_normal((n, n)) + n * np.eye(n)
+    aj = jnp.asarray(a)
+    lu11, p11 = solvers.getrf(aj, num_moduli=12, block=32, mesh=_mesh_of(1, 1))
+    lu24, p24 = solvers.getrf(aj, num_moduli=12, block=32, mesh=_mesh_of(2, 4))
+    lu42, p42 = solvers.getrf(aj, num_moduli=12, block=32, mesh=_mesh_of(4, 2))
+    np.testing.assert_array_equal(np.asarray(lu11), np.asarray(lu24))
+    np.testing.assert_array_equal(np.asarray(lu11), np.asarray(lu42))
+    np.testing.assert_array_equal(np.asarray(p11), np.asarray(p24))
+    # reconstruction quality matches the local path's
+    lu, perm = np.asarray(lu24), np.asarray(p24)
+    L = np.tril(lu, -1) + np.eye(n)
+    U = np.triu(lu)
+    assert np.max(np.abs(a[perm] - L @ U)) / np.max(np.abs(a)) < 1e-13
+
+
+def test_potrf_distributed_bit_identical_across_meshes():
+    rng = _rng(32)
+    n = 128
+    a = _spd(rng, n)
+    aj = jnp.asarray(a)
+    l11 = np.asarray(solvers.potrf(aj, num_moduli=12, block=32,
+                                   mesh=_mesh_of(1, 1)))
+    l24 = np.asarray(solvers.potrf(aj, num_moduli=12, block=32,
+                                   mesh=_mesh_of(2, 4)))
+    np.testing.assert_array_equal(l11, l24)
+    assert np.max(np.abs(l24 @ l24.T - a)) / np.max(np.abs(a)) < 1e-13
+
+
+def test_distributed_solvers_reject_bad_blocking():
+    with pytest.raises(ValueError):  # block not divisible by mesh axis y=4
+        solvers.getrf(jnp.ones((100, 100)), block=10, mesh=_mesh_of(2, 4))
+    with pytest.raises(ValueError):  # dims not divisible by block
+        solvers.potrf(jnp.ones((100, 100)), block=32, mesh=_mesh_of(2, 4))
