@@ -61,10 +61,12 @@ def _default_block(n: int) -> int:
     return max(32, min(512, n))
 
 
-def _check_mesh_blocking(mesh, n_or_shape, blk, name):
+def _check_mesh_blocking(mesh, n_or_shape, blk, name, rhs_cols=None):
     """Distributed updates route through SUMMA, which shards every GEMM dim
     over the mesh: block and every block boundary must divide both mesh
-    axes. Enforced upfront so failures name the constraint, not a shape."""
+    axes (and the RHS column count must divide mesh.y, for the substitution
+    updates whose n dimension is the RHS width). Enforced upfront so
+    failures name the constraint, not a shape."""
     if mesh is None:
         return
     mx, my = mesh.devices.shape
@@ -74,11 +76,17 @@ def _check_mesh_blocking(mesh, n_or_shape, blk, name):
         raise ValueError(
             f"{name} with mesh {mx}x{my} needs block divisible by both mesh "
             f"axes and dims divisible by block; got block={blk}, dims={dims}")
+    if rhs_cols is not None and rhs_cols % my:
+        raise ValueError(
+            f"{name} with mesh {mx}x{my} needs the RHS column count "
+            f"divisible by mesh.y; got {rhs_cols}")
 
 
 def _schur_update(a_blk, b_blk, c_blk, *, mesh, num_moduli, fastmode,
-                  backend):
-    """c_blk - a_blk @ b_blk, emulated; distributed over `mesh` when given.
+                  backend, sign=-1.0):
+    """c_blk + sign * a_blk @ b_blk, emulated; distributed over `mesh` when
+    given (sign=-1: Schur complement / substitution update; +1: trmm row
+    accumulation).
 
     The SUMMA product is bit-identical ACROSS MESH SHAPES (order-free
     shift/reduction design, tests/test_parallel.py) and the trailing
@@ -90,11 +98,11 @@ def _schur_update(a_blk, b_blk, c_blk, *, mesh, num_moduli, fastmode,
     """
     if mesh is None:
         return gemm(a_blk, b_blk, num_moduli=num_moduli, fastmode=fastmode,
-                    backend=backend, alpha=-1.0, beta=1.0, c=c_blk)
+                    backend=backend, alpha=sign, beta=1.0, c=c_blk)
     from .parallel import summa_gemm
     prod = summa_gemm(a_blk, b_blk, mesh=mesh, num_moduli=num_moduli,
                       fastmode=fastmode, backend=backend)
-    return c_blk - prod
+    return c_blk - prod if sign == -1.0 else c_blk + prod
 
 
 def _tri_solve_native(t, rhs, *, unit_diag: bool):
@@ -109,12 +117,13 @@ def _tri_solve_native(t, rhs, *, unit_diag: bool):
 
 
 def _trsm_lower_left(t, b, *, unit_diag, num_moduli, fastmode, backend,
-                     block):
+                     block, mesh=None):
     """X with T @ X = B, T lower-triangular (m, m), B (m, n).
 
     Blocked forward substitution: the diagonal solves are native, the
     off-diagonal update B_i -= T[i,:i] @ X[:i] is ONE emulated GEMM per
-    block row (alpha=-1, beta=1 fused epilogue).
+    block row (alpha=-1, beta=1 fused epilogue; distributed through SUMMA
+    when `mesh` is given).
     """
     m = t.shape[0]
     spans = _blocks(m, block)
@@ -123,16 +132,16 @@ def _trsm_lower_left(t, b, *, unit_diag, num_moduli, fastmode, backend,
         rhs = b[lo:hi]
         if lo > 0:
             x_prev = jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
-            rhs = gemm(t[lo:hi, :lo], x_prev, num_moduli=num_moduli,
-                       fastmode=fastmode, backend=backend,
-                       alpha=-1.0, beta=1.0, c=rhs)
+            rhs = _schur_update(t[lo:hi, :lo], x_prev, rhs, mesh=mesh,
+                                num_moduli=num_moduli, fastmode=fastmode,
+                                backend=backend)
         xs.append(_tri_solve_native(t[lo:hi, lo:hi], rhs,
                                     unit_diag=unit_diag))
     return jnp.concatenate(xs, axis=0) if len(xs) > 1 else xs[0]
 
 
 def _trmm_lower_left(t, b, *, unit_diag, num_moduli, fastmode, backend,
-                     block):
+                     block, mesh=None):
     """T @ B with T lower-triangular: per block row, one emulated GEMM over
     the strictly-lower panel plus a native small triangular product --
     half the MXU flops of a dense masked GEMM."""
@@ -146,9 +155,9 @@ def _trmm_lower_left(t, b, *, unit_diag, num_moduli, fastmode, backend,
                 hi - lo, dtype=t.dtype)
         row = tdiag @ b[lo:hi]
         if lo > 0:
-            row = gemm(t[lo:hi, :lo], b[:lo], num_moduli=num_moduli,
-                       fastmode=fastmode, backend=backend,
-                       alpha=1.0, beta=1.0, c=row)
+            row = _schur_update(t[lo:hi, :lo], b[:lo], row, mesh=mesh,
+                                num_moduli=num_moduli, fastmode=fastmode,
+                                backend=backend, sign=1.0)
         out.append(row)
     return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
@@ -169,7 +178,7 @@ def trsm(a: jax.Array, b: jax.Array, *, side: str = "left",
          lower: bool = True, trans_a=False, unit_diag: bool = False,
          alpha=1.0, num_moduli: int = 8, fastmode="robust",
          backend: str = tables.Backend.INT8,
-         block: Optional[int] = None) -> jax.Array:
+         block: Optional[int] = None, mesh=None) -> jax.Array:
     """Triangular solve with the O(n^3) updates on the int8 MXU.
 
     side="left":  solve op(A) @ X = alpha * B   (A is (m, m), B is (m, n))
@@ -179,6 +188,11 @@ def trsm(a: jax.Array, b: jax.Array, *, side: str = "left",
     dial the update GEMMs exactly like :func:`gemmul8_tpu.gemm`. The
     diagonal blocks (`block` wide, default <=512) solve natively; everything
     else is blocked substitution whose updates are emulated GEMMs.
+
+    With `mesh` (a 2-D jax.sharding.Mesh) the update GEMMs run distributed
+    through :func:`summa_gemm`; results are bit-identical across mesh
+    shapes (worthwhile when the RHS is wide -- the updates are
+    O(m^2 * n_rhs); the native diagonal solves stay local).
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
@@ -205,8 +219,10 @@ def trsm(a: jax.Array, b: jax.Array, *, side: str = "left",
         # flips are exact, so this costs two copies and zero accuracy
         t, b = _flip2(t), jnp.flip(b, 0)
     blk = block or _default_block(t.shape[0])
+    _check_mesh_blocking(mesh, t.shape[0], blk, "trsm", rhs_cols=b.shape[1])
     x = _trsm_lower_left(t, b, unit_diag=unit_diag, num_moduli=num_moduli,
-                         fastmode=fastmode, backend=backend, block=blk)
+                         fastmode=fastmode, backend=backend, block=blk,
+                         mesh=mesh)
     if not is_lower:
         x = jnp.flip(x, 0)
     return x.T if side == "right" else x
@@ -216,12 +232,13 @@ def trmm(a: jax.Array, b: jax.Array, *, side: str = "left",
          lower: bool = True, trans_a=False, unit_diag: bool = False,
          alpha=1.0, num_moduli: int = 8, fastmode="robust",
          backend: str = tables.Backend.INT8,
-         block: Optional[int] = None) -> jax.Array:
+         block: Optional[int] = None, mesh=None) -> jax.Array:
     """Triangular matrix product alpha * op(A) @ B (or B @ op(A)).
 
     Exploits the triangular structure: each block row multiplies only its
     strictly-lower panel through the emulated GEMM (half the MXU work of
-    gemm with a masked A) plus a native small diagonal product.
+    gemm with a masked A) plus a native small diagonal product. `mesh`
+    distributes the panel GEMMs through :func:`summa_gemm` (see trsm).
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
@@ -243,8 +260,10 @@ def trmm(a: jax.Array, b: jax.Array, *, side: str = "left",
     if not is_lower:
         t, b = _flip2(t), jnp.flip(b, 0)
     blk = block or _default_block(t.shape[0])
+    _check_mesh_blocking(mesh, t.shape[0], blk, "trmm", rhs_cols=b.shape[1])
     out = _trmm_lower_left(t, b, unit_diag=unit_diag, num_moduli=num_moduli,
-                           fastmode=fastmode, backend=backend, block=blk)
+                           fastmode=fastmode, backend=backend, block=blk,
+                           mesh=mesh)
     if not is_lower:
         out = jnp.flip(out, 0)
     if side == "right":
@@ -371,8 +390,12 @@ def getrf(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
 def lu_solve(lu: jax.Array, perm: jax.Array, b: jax.Array, *,
              num_moduli: int = 8, fastmode="robust",
              backend: str = tables.Backend.INT8,
-             block: Optional[int] = None) -> jax.Array:
-    """Solve A @ X = B from getrf's (lu, perm): permute, then two trsm."""
+             block: Optional[int] = None, mesh=None) -> jax.Array:
+    """Solve A @ X = B from getrf's (lu, perm): permute, then two trsm.
+
+    `mesh` distributes the substitution update GEMMs (requires a 2-D B
+    whose column count divides mesh.y -- vector RHS stays local).
+    """
     lu = jnp.asarray(lu)
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
@@ -380,16 +403,16 @@ def lu_solve(lu: jax.Array, perm: jax.Array, b: jax.Array, *,
         b = b[:, None]
     pb = b.take(jnp.asarray(perm), axis=0)
     y = trsm(lu, pb, lower=True, unit_diag=True, num_moduli=num_moduli,
-             fastmode=fastmode, backend=backend, block=block)
+             fastmode=fastmode, backend=backend, block=block, mesh=mesh)
     x = trsm(lu, y, lower=False, unit_diag=False, num_moduli=num_moduli,
-             fastmode=fastmode, backend=backend, block=block)
+             fastmode=fastmode, backend=backend, block=block, mesh=mesh)
     return x[:, 0] if squeeze else x
 
 
 def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode="robust",
           backend: str = tables.Backend.INT8, block: Optional[int] = None,
           refine_steps: int = 0,
-          residual_moduli: Optional[int] = None) -> jax.Array:
+          residual_moduli: Optional[int] = None, mesh=None) -> jax.Array:
     """Dense solve A @ X = B via emulated-GEMM LU, with optional iterative
     refinement -- the end-to-end mixed-precision-solver story of the
     Ozaki-scheme literature: a CHEAP factorization (low num_moduli) plus
@@ -400,6 +423,11 @@ def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     IR converges only if the residual is computed more accurately than the
     factorization, so it defaults to the dtype's native-precision setting
     from :func:`choose_moduli` (never below num_moduli).
+
+    `mesh` distributes the FACTORIZATION's Schur updates -- the O(n^3)
+    bulk, HPL-style -- through :func:`summa_gemm`; the triangular solves
+    and refinement residuals (O(n^2 * n_rhs)) stay local so vector RHS
+    works on any mesh.
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
@@ -407,7 +435,7 @@ def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode="robust",
         from .accuracy_model import choose_moduli
         residual_moduli = max(num_moduli, choose_moduli(dtype=a.dtype))
     lu, perm = getrf(a, num_moduli=num_moduli, fastmode=fastmode,
-                     backend=backend, block=block)
+                     backend=backend, block=block, mesh=mesh)
     x = lu_solve(lu, perm, b, num_moduli=num_moduli, fastmode=fastmode,
                  backend=backend, block=block)
     for _ in range(refine_steps):
