@@ -11,6 +11,7 @@ from .complex_gemm import gemm_planar
 from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
                    gemm_with_phases, matmul, precompute, syrk, work_bytes)
 from .hook import emulate, install, refresh, uninstall
+from .qr import geqrf, lstsq, ormqr, qr
 from .solvers import getrf, lu_solve, potrf, solve, trmm, trsm
 from .tables import Backend
 
@@ -22,5 +23,6 @@ __all__ = [
     "Backend", "GemmConfig", "env_config", "tables", "compare",
     "choose_moduli", "modeled_max_rel_err",
     "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf",
+    "geqrf", "ormqr", "qr", "lstsq",
     "emulate", "install", "refresh", "uninstall",
 ]
