@@ -11,8 +11,9 @@ from .complex_gemm import gemm_planar
 from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
                    gemm_with_phases, matmul, precompute, syrk, work_bytes)
 from .hook import emulate, install, refresh, uninstall
+from .eig import eigh, svd
 from .qr import geqrf, lstsq, ormqr, qr
-from .solvers import getrf, lu_solve, potrf, solve, trmm, trsm
+from .solvers import getrf, inv, lu_solve, potrf, solve, trmm, trsm
 from .tables import Backend
 
 __version__ = "0.2.0"
@@ -22,7 +23,7 @@ __all__ = [
     "QuantizedOperand", "work_bytes", "gemm_with_phases", "gemm_planar",
     "Backend", "GemmConfig", "env_config", "tables", "compare",
     "choose_moduli", "modeled_max_rel_err",
-    "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf",
-    "geqrf", "ormqr", "qr", "lstsq",
+    "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "inv",
+    "geqrf", "ormqr", "qr", "lstsq", "svd", "eigh",
     "emulate", "install", "refresh", "uninstall",
 ]

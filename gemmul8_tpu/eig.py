@@ -1,0 +1,238 @@
+"""Block-Jacobi SVD and symmetric eigendecomposition over the emulated GEMM.
+
+Capability layer beyond the reference (GEMMul8 is GEMM-only): together
+with solvers.py (LU/Cholesky/triangular) and qr.py (QR/least-squares)
+this completes the dense mixed-precision linear-algebra story the
+reference positions itself as the building block for.
+
+Why Jacobi and not reduction-based (sytrd/gebrd) algorithms: block-Jacobi
+is the TPU-shaped choice. A sweep is a fixed round-robin schedule of
+block-pair rotations; every round's work is TWO BATCHED GEMMs (the pair
+Gram/subblock products and the block-column rotation applications) plus
+one tiny batched native eigh for the 2b x 2b rotation subproblems --
+static shapes, no data-dependent control flow inside any compiled
+program, and the O(n^3) bulk rides the int8 MXU through
+:func:`gemmul8_tpu.gemm_batched`. Householder reduction to tridiagonal/
+bidiagonal form spends half its flops in panel-bound symmetric matvecs
+that cannot batch onto the MXU.
+
+Accuracy contract: the rotations are computed from EMULATED Gram /
+subblock products, so the achievable off-diagonal floor tracks
+``num_moduli`` (the framework's accuracy dial, reference Fig. 4 law).
+Convergence stops at ``tol`` or when the off-diagonal stagnates at the
+emulation noise floor; sweeps converge quadratically once pairs decouple
+(classic Jacobi theory), so the floor costs at most one extra sweep.
+
+svd:  one-sided (Hestenes) block Jacobi -- orthogonalizes column blocks
+      of W = A V; at convergence sigma = column norms, U = W / sigma.
+eigh: two-sided block Jacobi -- batched native eigh of the 2b x 2b
+      pair subblocks drives A <- J^T A J to diagonal form.
+"""
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import tables
+from .core import gemm_batched
+from .solvers import _check_real_2d
+
+__all__ = ["svd", "eigh"]
+
+
+def _pick_block(n: int, block: Optional[int]) -> int:
+    """Block width: must divide n (uniform 2b-wide batched gathers)."""
+    if block is not None:
+        if n % block:
+            raise ValueError(f"block {block} must divide n={n}")
+        return block
+    target = max(8, min(128, n // 8))
+    for b in range(min(target, n), 0, -1):
+        if n % b == 0:
+            return b
+    return 1
+
+
+def _round_robin(nb: int):
+    """Round-robin tournament: nb-1 (nb even) or nb (odd) rounds of
+    disjoint block pairs covering every pair exactly once per sweep."""
+    ids = list(range(nb)) + ([None] if nb % 2 else [])
+    nn = len(ids)
+    rounds = []
+    for _ in range(nn - 1):
+        pairs = [(min(ids[k], ids[nn - 1 - k]), max(ids[k], ids[nn - 1 - k]))
+                 for k in range(nn // 2)
+                 if ids[k] is not None and ids[nn - 1 - k] is not None]
+        rounds.append(sorted(pairs))
+        ids = [ids[0], ids[-1]] + ids[1:-1]
+    return rounds
+
+
+def _pair_cols(pairs, b: int):
+    """(P, 2b) int32 column indices for a round's block pairs."""
+    out = np.empty((len(pairs), 2 * b), np.int32)
+    for p, (i, j) in enumerate(pairs):
+        out[p, :b] = np.arange(i * b, (i + 1) * b)
+        out[p, b:] = np.arange(j * b, (j + 1) * b)
+    return jnp.asarray(out)
+
+
+def _gather_cols(x, cols):
+    """x (r, n) -> (P, r, 2b) block-column batch for the round."""
+    p, w = cols.shape
+    return x.take(cols.reshape(-1), axis=1).reshape(x.shape[0], p, w).transpose(1, 0, 2)
+
+
+def _scatter_cols(x, cols, upd):
+    """Inverse of _gather_cols (disjoint pairs: pure permutation)."""
+    p, w = cols.shape
+    return x.at[:, cols.reshape(-1)].set(
+        upd.transpose(1, 0, 2).reshape(x.shape[0], p * w))
+
+
+def _default_nu(dtype) -> int:
+    # iterative orthogonalization needs near-dtype-accurate rotations;
+    # these hit the dtype's native-precision settings (choose_moduli law)
+    return 14 if np.dtype(dtype).itemsize == 8 else 9
+
+
+def _tolerances(a, tol):
+    eps = float(jnp.finfo(a.dtype).eps)
+    return (32 * eps) if tol is None else float(tol)
+
+
+def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
+        fastmode="robust", backend: str = tables.Backend.INT8,
+        block: Optional[int] = None, max_sweeps: int = 24,
+        tol: Optional[float] = None, compute_uv: bool = True):
+    """SVD by one-sided block Jacobi on the emulated engine.
+
+    Returns (u, s, vt) with a == u @ diag(s) @ vt (reduced: u is
+    (m, kmin), vt (kmin, n), s descending), or s alone when
+    ``compute_uv=False``. Every Gram product and rotation application --
+    the O(m n^2) bulk -- is a batched emulated GEMM; only the 2b x 2b
+    rotation eigenproblems are native.
+
+    Columns with sigma == 0 (exact rank deficiency) get zero columns in
+    u rather than an arbitrary orthonormal completion.
+    """
+    a = jnp.asarray(a)
+    _check_real_2d(a, "A")
+    if a.shape[0] < a.shape[1]:
+        # run on A^T: A = (V') S (U')^T  =>  u = vt'.T, vt = u'.T
+        res = svd(a.T, num_moduli=num_moduli, fastmode=fastmode,
+                  backend=backend, block=block, max_sweeps=max_sweeps,
+                  tol=tol, compute_uv=compute_uv)
+        if not compute_uv:
+            return res
+        ut, s, vtt = res
+        return vtt.T, s, ut.T
+    m, n = a.shape
+    nu = num_moduli if num_moduli is not None else _default_nu(a.dtype)
+    b = _pick_block(n, block)
+    rounds = _round_robin(n // b)
+    stop = _tolerances(a, tol)
+    tiny = float(jnp.finfo(a.dtype).tiny)
+
+    w = a
+    v = jnp.eye(n, dtype=a.dtype)
+    prev_off = None
+    for sweep in range(max_sweeps):
+        off = jnp.zeros((), a.dtype)
+        for pairs in rounds:
+            cols = _pair_cols(pairs, b)
+            x = _gather_cols(w, cols)                       # (P, m, 2b)
+            g = gemm_batched(x.transpose(0, 2, 1), x, num_moduli=nu,
+                             fastmode=fastmode, backend=backend)
+            d = jnp.diagonal(g, axis1=1, axis2=2)           # (P, 2b)
+            denom = jnp.sqrt(jnp.maximum(
+                d[:, :b, None] * d[:, None, b:], tiny))
+            off = jnp.maximum(off, jnp.max(jnp.abs(g[:, :b, b:]) / denom))
+            _, j = jnp.linalg.eigh(g)
+            j = j[:, :, ::-1]                               # descending
+            w = _scatter_cols(w, cols, gemm_batched(
+                x, j, num_moduli=nu, fastmode=fastmode, backend=backend))
+            if compute_uv:
+                xv = _gather_cols(v, cols)
+                v = _scatter_cols(v, cols, gemm_batched(
+                    xv, j, num_moduli=nu, fastmode=fastmode,
+                    backend=backend))
+        off_h = float(off)
+        if off_h <= stop:
+            break
+        # early sweeps shrink off slowly (coupling), late ones
+        # quadratically; a literal non-improvement after warmup means the
+        # emulation noise floor (num_moduli) has been reached
+        if sweep >= 4 and prev_off is not None and off_h >= prev_off:
+            break
+        prev_off = off_h
+    s2 = jnp.sum(w * w, axis=0)
+    order = jnp.argsort(-s2)
+    s = jnp.sqrt(s2[order])
+    kmin = min(m, n)
+    s = s[:kmin]
+    if not compute_uv:
+        return s
+    wk = w[:, order[:kmin]]
+    u = jnp.where(s[None, :] > 0, wk / jnp.maximum(s[None, :], tiny), 0.0)
+    return u, s, v[:, order[:kmin]].T
+
+
+def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
+         fastmode="robust", backend: str = tables.Backend.INT8,
+         block: Optional[int] = None, max_sweeps: int = 24,
+         tol: Optional[float] = None):
+    """Symmetric eigendecomposition by two-sided block Jacobi.
+
+    Returns (w, v) like jnp.linalg.eigh: eigenvalues ascending,
+    a @ v == v @ diag(w). The input is symmetrized ((a + a.T)/2, LAPACK
+    lower/upper convention analog). Rotations come from batched native
+    eigh of the 2b x 2b pair subblocks; the O(n^3) row/column rotation
+    applications run through the batched emulated GEMM.
+    """
+    a = jnp.asarray(a)
+    _check_real_2d(a, "A")
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"eigh needs a square matrix, got {a.shape}")
+    n = a.shape[0]
+    nu = num_moduli if num_moduli is not None else _default_nu(a.dtype)
+    b = _pick_block(n, block)
+    rounds = _round_robin(n // b)
+    stop = _tolerances(a, tol)
+
+    a = (a + a.T) * 0.5
+    fro = jnp.sqrt(jnp.sum(a * a))
+    v = jnp.eye(n, dtype=a.dtype)
+    prev_off = None
+    for sweep in range(max_sweeps):
+        off2 = jnp.zeros((), a.dtype)
+        for pairs in rounds:
+            cols = _pair_cols(pairs, b)
+            rows = a.take(cols.reshape(-1), axis=0).reshape(
+                cols.shape[0], 2 * b, n)
+            s = jnp.take_along_axis(rows, cols[:, None, :], axis=2)
+            off2 = off2 + 2.0 * jnp.sum(s[:, :b, b:] ** 2)
+            _, j = jnp.linalg.eigh(s)                       # ascending
+            a = _scatter_cols(a, cols, gemm_batched(
+                _gather_cols(a, cols), j, num_moduli=nu,
+                fastmode=fastmode, backend=backend))
+            rows = a.take(cols.reshape(-1), axis=0).reshape(
+                cols.shape[0], 2 * b, n)
+            a = a.at[cols.reshape(-1), :].set(
+                gemm_batched(j.transpose(0, 2, 1), rows, num_moduli=nu,
+                             fastmode=fastmode, backend=backend)
+                .reshape(-1, n))
+            v = _scatter_cols(v, cols, gemm_batched(
+                _gather_cols(v, cols), j, num_moduli=nu,
+                fastmode=fastmode, backend=backend))
+        a = (a + a.T) * 0.5
+        off_h = float(jnp.sqrt(off2) / jnp.maximum(fro, 1e-300))
+        if off_h <= stop:
+            break
+        if sweep >= 4 and prev_off is not None and off_h >= prev_off:
+            break                     # stagnated at the emulation floor
+        prev_off = off_h
+    wdiag = jnp.diagonal(a)
+    order = jnp.argsort(wdiag)
+    return wdiag[order], v[:, order]

@@ -39,7 +39,7 @@ import numpy as np
 from . import tables
 from .core import gemm
 
-__all__ = ["trsm", "trmm", "getrf", "lu_solve", "solve", "potrf"]
+__all__ = ["trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "inv"]
 
 
 def _check_real_2d(x, name):
@@ -407,6 +407,26 @@ def lu_solve(lu: jax.Array, perm: jax.Array, b: jax.Array, *,
     x = trsm(lu, y, lower=False, unit_diag=False, num_moduli=num_moduli,
              fastmode=fastmode, backend=backend, block=block, mesh=mesh)
     return x[:, 0] if squeeze else x
+
+
+def inv(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
+        backend: str = tables.Backend.INT8, block: Optional[int] = None,
+        mesh=None) -> jax.Array:
+    """Matrix inverse via emulated-GEMM LU (LAPACK getrf+getri analog):
+    A^{-1} = lu_solve(I). The two n-RHS blocked triangular solves route
+    their O(n^3) update GEMMs through the emulator; `mesh` distributes
+    the factorization's Schur updates AND the substitution updates
+    (n columns of RHS satisfy the mesh divisibility checks whenever the
+    factorization's do)."""
+    a = jnp.asarray(a)
+    _check_real_2d(a, "A")
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"inv needs a square matrix, got {a.shape}")
+    lu, perm = getrf(a, num_moduli=num_moduli, fastmode=fastmode,
+                     backend=backend, block=block, mesh=mesh)
+    eye = jnp.eye(a.shape[0], dtype=a.dtype)
+    return lu_solve(lu, perm, eye, num_moduli=num_moduli, fastmode=fastmode,
+                    backend=backend, block=block, mesh=mesh)
 
 
 def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode="robust",

@@ -1,0 +1,127 @@
+"""Eigensolver layer: block-Jacobi svd/eigh over the batched emulated GEMM.
+
+Oracle strategy mirrors test_solvers/test_qr: numpy f64 references; at
+nu=14 the emulated Gram/rotation products are more accurate than the
+oracle's own rounding, so plain tolerances verify both the algorithm and
+the GEMM routing. The nu-dial tests verify the accuracy knob carries
+through the iteration (the framework's defining contract).
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gemmul8_tpu as g8
+from gemmul8_tpu import eig as eigmod
+
+
+def _rng(seed):
+    return np.random.default_rng(seed)
+
+
+@pytest.mark.parametrize("shape", [(96, 64), (64, 64), (48, 96)])
+def test_svd_reconstructs_and_orthogonal(shape):
+    rng = _rng(sum(shape))
+    a = rng.standard_normal(shape)
+    u, s, vt = (np.asarray(x) for x in g8.svd(jnp.asarray(a)))
+    m, n = shape
+    kmin = min(m, n)
+    assert u.shape == (m, kmin) and s.shape == (kmin,) and vt.shape == (kmin, n)
+    assert np.all(np.diff(s) <= 0)
+    assert np.max(np.abs(u @ np.diag(s) @ vt - a)) / np.max(np.abs(a)) < 1e-11
+    assert np.max(np.abs(u.T @ u - np.eye(kmin))) < 1e-11
+    assert np.max(np.abs(vt @ vt.T - np.eye(kmin))) < 1e-11
+
+
+def test_svd_values_match_numpy():
+    rng = _rng(2)
+    a = rng.standard_normal((80, 48))
+    s = np.asarray(g8.svd(jnp.asarray(a), compute_uv=False))
+    sref = np.linalg.svd(a, compute_uv=False)
+    assert s.shape == sref.shape
+    assert np.max(np.abs(s - sref) / sref) < 1e-12
+
+
+def test_svd_rank_deficient():
+    rng = _rng(3)
+    a = rng.standard_normal((96, 12)) @ rng.standard_normal((12, 64))
+    u, s, vt = (np.asarray(x) for x in g8.svd(jnp.asarray(a)))
+    assert np.max(np.abs(u @ np.diag(s) @ vt - a)) / np.max(np.abs(a)) < 1e-11
+    # trailing singular values collapse to (near) zero
+    assert np.max(s[12:]) < s[0] * 1e-8
+
+
+def test_svd_f32():
+    rng = _rng(4)
+    a = rng.standard_normal((64, 64)).astype(np.float32)
+    s = np.asarray(g8.svd(jnp.asarray(a), compute_uv=False))
+    sref = np.linalg.svd(a.astype(np.float64), compute_uv=False)
+    assert np.max(np.abs(s - sref) / sref) < 1e-4
+
+
+def test_svd_nu_dial_carries_through():
+    """num_moduli bounds the rotation accuracy and thus the final sigmas."""
+    rng = _rng(5)
+    a = rng.standard_normal((64, 64))
+    sref = np.linalg.svd(a, compute_uv=False)
+    e8 = np.max(np.abs(np.asarray(
+        g8.svd(jnp.asarray(a), num_moduli=8, compute_uv=False)) - sref) / sref)
+    e14 = np.max(np.abs(np.asarray(
+        g8.svd(jnp.asarray(a), num_moduli=14, compute_uv=False)) - sref) / sref)
+    assert e14 < e8 * 1e-3
+
+
+def test_eigh_matches_numpy():
+    rng = _rng(6)
+    m = rng.standard_normal((80, 80))
+    sym = (m + m.T) / 2
+    w, v = (np.asarray(x) for x in g8.eigh(jnp.asarray(sym)))
+    wref = np.linalg.eigvalsh(sym)
+    scale = np.max(np.abs(wref))
+    assert np.all(np.diff(w) >= 0)
+    assert np.max(np.abs(w - wref)) / scale < 1e-12
+    assert np.max(np.abs(sym @ v - v * w[None, :])) / scale < 1e-12
+    assert np.max(np.abs(v.T @ v - np.eye(80))) < 1e-12
+
+
+def test_eigh_indefinite_and_clustered():
+    """Sign-indefinite spectrum with a repeated eigenvalue."""
+    rng = _rng(7)
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    wtrue = np.concatenate([np.full(8, -3.0), np.linspace(-1, 1, 48),
+                            np.full(8, 5.0)])
+    sym = (q * wtrue[None, :]) @ q.T
+    sym = (sym + sym.T) / 2
+    w, v = (np.asarray(x) for x in g8.eigh(jnp.asarray(sym)))
+    assert np.max(np.abs(w - np.sort(wtrue))) < 1e-12
+    assert np.max(np.abs(sym @ v - v * w[None, :])) < 1e-11
+
+
+def test_eigh_bit_reproducible():
+    rng = _rng(8)
+    m = rng.standard_normal((48, 48))
+    sym = jnp.asarray((m + m.T) / 2)
+    w1, v1 = g8.eigh(sym, num_moduli=12)
+    w2, v2 = g8.eigh(sym, num_moduli=12)
+    assert np.array_equal(np.asarray(w1), np.asarray(w2))
+    assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
+def test_eig_rejects_bad_inputs():
+    with pytest.raises(ValueError):
+        g8.eigh(jnp.ones((4, 6)))
+    with pytest.raises(NotImplementedError):
+        g8.svd(jnp.ones((4, 4), jnp.complex64))
+    with pytest.raises(ValueError):  # block must divide n
+        g8.svd(jnp.ones((32, 30)), block=7)
+
+
+def test_round_robin_covers_all_pairs():
+    for nb in (2, 3, 4, 5, 8):
+        rounds = eigmod._round_robin(nb)
+        seen = set()
+        for pairs in rounds:
+            ids = [i for p in pairs for i in p]
+            assert len(ids) == len(set(ids))  # disjoint within a round
+            seen |= set(pairs)
+        want = {(i, j) for i in range(nb) for j in range(i + 1, nb)}
+        assert seen == want

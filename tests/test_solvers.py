@@ -409,3 +409,26 @@ def test_solve_distributed_end_to_end():
                                      num_moduli=12, block=32,
                                      mesh=_mesh_of(2, 4)))
     assert np.max(np.abs(a @ xd - bb)) / np.max(np.abs(bb)) < 1e-12
+
+
+def test_inv_matches_numpy_and_distributes():
+    rng = _rng(35)
+    n = 96
+    a = rng.standard_normal((n, n)) + n * np.eye(n)
+    ainv = np.asarray(solvers.inv(jnp.asarray(a), num_moduli=14, block=32))
+    assert np.max(np.abs(ainv @ a - np.eye(n))) < 1e-12
+    assert np.max(np.abs(ainv - np.linalg.inv(a))) / np.max(
+        np.abs(ainv)) < 1e-12
+    # distributed: factorization + substitution updates through SUMMA,
+    # bit-identical across mesh shapes
+    n = 128
+    a = jnp.asarray(rng.standard_normal((n, n)) + n * np.eye(n))
+    i24 = solvers.inv(a, num_moduli=12, block=32, mesh=_mesh_of(2, 4))
+    i42 = solvers.inv(a, num_moduli=12, block=32, mesh=_mesh_of(4, 2))
+    np.testing.assert_array_equal(np.asarray(i24), np.asarray(i42))
+    assert np.max(np.abs(np.asarray(i24) @ np.asarray(a) - np.eye(n))) < 1e-11
+
+
+def test_inv_rejects_nonsquare():
+    with pytest.raises(ValueError):
+        solvers.inv(jnp.ones((4, 6)))
