@@ -97,6 +97,31 @@ def _default_nu(dtype) -> int:
     return 14 if np.dtype(dtype).itemsize == 8 else 9
 
 
+def _pair_sharding(mesh, pairs_per_round: int):
+    """Batch sharding over the round's independent pair subproblems.
+
+    Jacobi distribution differs from the factorizations' (SUMMA inside
+    each GEMM): a round's pairs are INDEPENDENT, so the batched pair
+    GEMMs shard over the batch axis -- every device runs whole pair
+    subproblems, no collectives at all inside a round. Returns a
+    device_put-able sharding for (P, ., .) batches, or None."""
+    if mesh is None:
+        return None
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+    devs = mesh.devices.reshape(-1)
+    if pairs_per_round % devs.size:
+        raise ValueError(
+            f"mesh with {devs.size} devices needs the pairs-per-round "
+            f"({pairs_per_round}) divisible by it; pick a block width "
+            f"giving n/(2*block) % n_devices == 0")
+    flat = Mesh(devs, ("pairs",))
+    return NamedSharding(flat, PartitionSpec("pairs", None, None))
+
+
+def _shard(x, sharding):
+    return x if sharding is None else jax.device_put(x, sharding)
+
+
 def _tolerances(a, tol):
     eps = float(jnp.finfo(a.dtype).eps)
     return (32 * eps) if tol is None else float(tol)
@@ -105,7 +130,7 @@ def _tolerances(a, tol):
 def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
         fastmode="robust", backend: str = tables.Backend.INT8,
         block: Optional[int] = None, max_sweeps: int = 24,
-        tol: Optional[float] = None, compute_uv: bool = True):
+        tol: Optional[float] = None, compute_uv: bool = True, mesh=None):
     """SVD by one-sided block Jacobi on the emulated engine.
 
     Returns (u, s, vt) with a == u @ diag(s) @ vt (reduced: u is
@@ -123,7 +148,7 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
         # run on A^T: A = (V') S (U')^T  =>  u = vt'.T, vt = u'.T
         res = svd(a.T, num_moduli=num_moduli, fastmode=fastmode,
                   backend=backend, block=block, max_sweeps=max_sweeps,
-                  tol=tol, compute_uv=compute_uv)
+                  tol=tol, compute_uv=compute_uv, mesh=mesh)
         if not compute_uv:
             return res
         ut, s, vtt = res
@@ -132,6 +157,7 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
     nu = num_moduli if num_moduli is not None else _default_nu(a.dtype)
     b = _pick_block(n, block)
     rounds = _round_robin(n // b)
+    shd = _pair_sharding(mesh, len(rounds[0]))
     stop = _tolerances(a, tol)
     tiny = float(jnp.finfo(a.dtype).tiny)
 
@@ -142,7 +168,7 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
         off = jnp.zeros((), a.dtype)
         for pairs in rounds:
             cols = _pair_cols(pairs, b)
-            x = _gather_cols(w, cols)                       # (P, m, 2b)
+            x = _shard(_gather_cols(w, cols), shd)          # (P, m, 2b)
             g = gemm_batched(x.transpose(0, 2, 1), x, num_moduli=nu,
                              fastmode=fastmode, backend=backend)
             d = jnp.diagonal(g, axis1=1, axis2=2)           # (P, 2b)
@@ -154,7 +180,7 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
             w = _scatter_cols(w, cols, gemm_batched(
                 x, j, num_moduli=nu, fastmode=fastmode, backend=backend))
             if compute_uv:
-                xv = _gather_cols(v, cols)
+                xv = _shard(_gather_cols(v, cols), shd)
                 v = _scatter_cols(v, cols, gemm_batched(
                     xv, j, num_moduli=nu, fastmode=fastmode,
                     backend=backend))
@@ -182,7 +208,7 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
 def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
          fastmode="robust", backend: str = tables.Backend.INT8,
          block: Optional[int] = None, max_sweeps: int = 24,
-         tol: Optional[float] = None):
+         tol: Optional[float] = None, mesh=None):
     """Symmetric eigendecomposition by two-sided block Jacobi.
 
     Returns (w, v) like jnp.linalg.eigh: eigenvalues ascending,
@@ -199,6 +225,7 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
     nu = num_moduli if num_moduli is not None else _default_nu(a.dtype)
     b = _pick_block(n, block)
     rounds = _round_robin(n // b)
+    shd = _pair_sharding(mesh, len(rounds[0]))
     stop = _tolerances(a, tol)
 
     a = (a + a.T) * 0.5
@@ -215,16 +242,16 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
             off2 = off2 + 2.0 * jnp.sum(s[:, :b, b:] ** 2)
             _, j = jnp.linalg.eigh(s)                       # ascending
             a = _scatter_cols(a, cols, gemm_batched(
-                _gather_cols(a, cols), j, num_moduli=nu,
+                _shard(_gather_cols(a, cols), shd), j, num_moduli=nu,
                 fastmode=fastmode, backend=backend))
             rows = a.take(cols.reshape(-1), axis=0).reshape(
                 cols.shape[0], 2 * b, n)
             a = a.at[cols.reshape(-1), :].set(
-                gemm_batched(j.transpose(0, 2, 1), rows, num_moduli=nu,
-                             fastmode=fastmode, backend=backend)
-                .reshape(-1, n))
+                gemm_batched(j.transpose(0, 2, 1), _shard(rows, shd),
+                             num_moduli=nu, fastmode=fastmode,
+                             backend=backend).reshape(-1, n))
             v = _scatter_cols(v, cols, gemm_batched(
-                _gather_cols(v, cols), j, num_moduli=nu,
+                _shard(_gather_cols(v, cols), shd), j, num_moduli=nu,
                 fastmode=fastmode, backend=backend))
         a = (a + a.T) * 0.5
         off_h = float(jnp.sqrt(off2) / jnp.maximum(fro, 1e-300))

@@ -125,3 +125,44 @@ def test_round_robin_covers_all_pairs():
             seen |= set(pairs)
         want = {(i, j) for i in range(nb) for j in range(i + 1, nb)}
         assert seen == want
+
+
+# ---------------------------------------------------------------------------
+# distributed (mesh=): pair-batch sharding
+# ---------------------------------------------------------------------------
+
+def _mesh_of(x, y):
+    import jax
+    from jax.sharding import Mesh
+    devs = np.asarray(jax.devices()[: x * y]).reshape(x, y)
+    return Mesh(devs, ("x", "y"))
+
+
+def test_svd_distributed_bit_identical_across_meshes():
+    """mesh= shards the round's independent pair GEMMs over devices
+    (no collectives); every mesh shape computes identical bits."""
+    rng = _rng(20)
+    a = jnp.asarray(rng.standard_normal((160, 128)))
+    # block=8 -> 16 column blocks -> 8 pairs/round: divisible by 1/4/8
+    s1 = g8.svd(a, block=8, compute_uv=False, mesh=_mesh_of(1, 1))
+    s4 = g8.svd(a, block=8, compute_uv=False, mesh=_mesh_of(2, 2))
+    s8 = g8.svd(a, block=8, compute_uv=False, mesh=_mesh_of(2, 4))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s4))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s8))
+    sref = np.linalg.svd(np.asarray(a), compute_uv=False)
+    assert np.max(np.abs(np.asarray(s8) - sref) / sref) < 1e-11
+
+
+def test_eigh_distributed_matches_local():
+    rng = _rng(21)
+    m = rng.standard_normal((64, 64))
+    sym = jnp.asarray((m + m.T) / 2)
+    w_loc, v_loc = g8.eigh(sym, block=8)            # 8 blocks -> 4 pairs
+    w_dis, v_dis = g8.eigh(sym, block=8, mesh=_mesh_of(2, 2))
+    np.testing.assert_array_equal(np.asarray(w_loc), np.asarray(w_dis))
+    np.testing.assert_array_equal(np.asarray(v_loc), np.asarray(v_dis))
+
+
+def test_eig_distributed_rejects_indivisible_pairs():
+    with pytest.raises(ValueError):  # 4 pairs/round, 8 devices
+        g8.svd(jnp.ones((64, 64)), block=8, mesh=_mesh_of(2, 4))
