@@ -394,10 +394,12 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
     tgt = NamedSharding(mesh, spec)
 
     def _ensure_sharded(x):
-        """Accept already-sharded global arrays as-is (required for
-        multi-process meshes, where device_put of a host array onto
-        non-addressable devices is impossible); only single-process inputs
-        are resharded here."""
+        """Accept already-sharded global arrays as-is; reshard mismatched
+        GLOBAL arrays with a jitted identity (a collective relayout, legal
+        across processes -- e.g. transposed-sharding slices coming out of
+        the solver/QR layers); device_put covers single-process inputs.
+        Host (non-jax) arrays on a multi-process mesh cannot be sharded
+        here -- build them with jax.make_array_from_callback."""
         if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
             try:
                 if x.sharding.is_equivalent_to(tgt, x.ndim):
@@ -406,11 +408,7 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
                 if x.sharding == tgt:
                     return x
             if not x.is_fully_addressable:
-                raise ValueError(
-                    "summa_gemm input spans processes but is not sharded "
-                    "P('x','y') over the given mesh; build it with "
-                    "jax.make_array_from_callback / device_put on that "
-                    "sharding first")
+                return jax.jit(lambda y: y, out_shardings=tgt)(x)
         return jax.device_put(x, tgt)
 
     a = _ensure_sharded(a)

@@ -41,6 +41,49 @@ assert jax.device_count() == 4 * nproc
 assert jax.local_device_count() == 4
 
 mesh = make_mesh()  # global (2, 4) mesh spanning both processes
+
+if mode in ("getrf", "qr"):
+    # solver-layer cross-process run: the O(n^3) factorization updates run
+    # through SUMMA over the PROCESS-SPANNING mesh; inputs replicated (the
+    # factorization's host loop slices panels eagerly), outputs must
+    # bit-equal the single-device mesh=1x1 factorization on every process
+    import importlib
+    from gemmul8_tpu import solvers  # noqa: E402
+    # the package re-exports the qr FUNCTION under the submodule's name
+    qrmod = importlib.import_module("gemmul8_tpu.qr")
+    rng = np.random.default_rng(0)
+    n = 64
+    a_h = rng.standard_normal((n, n)) + (n * np.eye(n) if mode == "getrf"
+                                         else 0.0)
+    mesh1 = Mesh(np.asarray(jax.local_devices()[:1]).reshape(1, 1),
+                 ("x", "y"))
+    def _equal(got, want):
+        """Bit-compare a possibly process-spanning array against the local
+        reference via its addressable shards (can't fetch global values)."""
+        want = np.asarray(want)
+        if got.is_fully_addressable:
+            return np.array_equal(np.asarray(got), want)
+        return all(np.array_equal(np.asarray(s.data), want[s.index])
+                   for s in got.addressable_shards)
+
+    if mode == "getrf":
+        lu_g, perm_g = solvers.getrf(jnp.asarray(a_h), num_moduli=10,
+                                     block=32, mesh=mesh)
+        lu_r, perm_r = solvers.getrf(jnp.asarray(a_h), num_moduli=10,
+                                     block=32, mesh=mesh1)
+        ok = _equal(lu_g, lu_r) and _equal(perm_g, perm_r)
+    else:
+        q_g, r_g = qrmod.qr(jnp.asarray(a_h), num_moduli=10, block=32,
+                            mesh=mesh)
+        q_r, r_r = qrmod.qr(jnp.asarray(a_h), num_moduli=10, block=32,
+                            mesh=mesh1)
+        ok = _equal(q_g, q_r) and _equal(r_g, r_r)
+    if not ok:
+        print(f"MISMATCH proc={os.environ['G8_PID']} mode={mode}")
+        sys.exit(1)
+    print("MP_OK", flush=True)
+    sys.exit(0)
+
 rng = np.random.default_rng(0)  # same seed everywhere: same global inputs
 m = k = n = 64
 a_h = rng.standard_normal((m, k))

@@ -55,3 +55,11 @@ def _run_cluster(mode: str, nproc: int = 2, timeout: int = 420):
 @pytest.mark.parametrize("mode", ["gather", "stream", "accurate", "robust"])
 def test_two_process_summa_bit_identity(mode):
     _run_cluster(mode)
+
+
+@pytest.mark.parametrize("mode", ["getrf", "qr"])
+def test_two_process_factorization_bit_identity(mode):
+    """Solver/QR layers over a process-spanning mesh: the Schur / trailing
+    updates run through cross-process SUMMA; the factorization bits must
+    equal the single-device run (order-free reduction design)."""
+    _run_cluster(mode, timeout=600)
