@@ -13,7 +13,8 @@ from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
 from .hook import emulate, install, refresh, uninstall
 from .eig import eigh, svd
 from .qr import geqrf, lstsq, ormqr, qr
-from .solvers import getrf, inv, lu_solve, potrf, solve, trmm, trsm
+from .solvers import (getrf, inv, lu_solve, posv, potrf, potrs, solve, trmm,
+                      trsm)
 from .tables import Backend
 
 __version__ = "0.2.0"
@@ -23,7 +24,8 @@ __all__ = [
     "QuantizedOperand", "work_bytes", "gemm_with_phases", "gemm_planar",
     "Backend", "GemmConfig", "env_config", "tables", "compare",
     "choose_moduli", "modeled_max_rel_err",
-    "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "inv",
+    "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "potrs", "posv",
+    "inv",
     "geqrf", "ormqr", "qr", "lstsq", "svd", "eigh",
     "emulate", "install", "refresh", "uninstall",
 ]

@@ -39,7 +39,8 @@ import numpy as np
 from . import tables
 from .core import gemm
 
-__all__ = ["trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "inv"]
+__all__ = ["trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "potrs",
+           "posv", "inv"]
 
 
 def _check_real_2d(x, name):
@@ -467,4 +468,65 @@ def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode="robust",
             r = r[:, 0]
         x = x + lu_solve(lu, perm, r, num_moduli=num_moduli,
                          fastmode=fastmode, backend=backend, block=block)
+    return x
+
+
+def potrs(chol: jax.Array, b: jax.Array, *, lower: bool = True,
+          num_moduli: int = 8, fastmode="robust",
+          backend: str = tables.Backend.INT8,
+          block: Optional[int] = None, mesh=None) -> jax.Array:
+    """Solve A @ X = B from potrf's Cholesky factor (LAPACK dpotrs analog):
+    two emulated-GEMM triangular solves, L y = B then L^T x = y (or the
+    upper-factor pair when ``lower=False``).
+
+    `mesh` distributes the substitution update GEMMs like :func:`trsm`
+    (needs a 2-D B whose column count divides mesh.y -- vector RHS local).
+    """
+    chol = jnp.asarray(chol)
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    y = trsm(chol, b, lower=lower, trans_a=not lower, num_moduli=num_moduli,
+             fastmode=fastmode, backend=backend, block=block, mesh=mesh)
+    x = trsm(chol, y, lower=lower, trans_a=lower, num_moduli=num_moduli,
+             fastmode=fastmode, backend=backend, block=block, mesh=mesh)
+    return x[:, 0] if squeeze else x
+
+
+def posv(a: jax.Array, b: jax.Array, *, lower: bool = True,
+         num_moduli: int = 8, fastmode="robust",
+         backend: str = tables.Backend.INT8, block: Optional[int] = None,
+         refine_steps: int = 0, residual_moduli: Optional[int] = None,
+         mesh=None) -> jax.Array:
+    """SPD solve A @ X = B via emulated-GEMM Cholesky (LAPACK dposv analog),
+    with the same optional iterative refinement as :func:`solve`: a cheap
+    low-num_moduli factorization plus high-accuracy emulated residuals
+    recovers the full-precision solution at a fraction of the native-f64
+    factorization cost (the HPL-MxP protocol, SPD variant).
+
+    `mesh` distributes the factorization's syrk/Schur updates through
+    :func:`summa_gemm`; refinement residuals are O(n^2 * n_rhs) and local.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    _check_real_2d(a, "A")
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"posv needs a square matrix, got {a.shape}")
+    if refine_steps and residual_moduli is None:
+        from .accuracy_model import choose_moduli
+        residual_moduli = max(num_moduli, choose_moduli(dtype=a.dtype))
+    chol = potrf(a, lower=lower, num_moduli=num_moduli, fastmode=fastmode,
+                 backend=backend, block=block, mesh=mesh)
+    x = potrs(chol, b, lower=lower, num_moduli=num_moduli, fastmode=fastmode,
+              backend=backend, block=block)
+    for _ in range(refine_steps):
+        bx = x[:, None] if x.ndim == 1 else x
+        bb = b[:, None] if b.ndim == 1 else b
+        r = gemm(a, bx, num_moduli=residual_moduli, fastmode=fastmode,
+                 backend=backend, alpha=-1.0, beta=1.0, c=bb)
+        if x.ndim == 1:
+            r = r[:, 0]
+        x = x + potrs(chol, r, lower=lower, num_moduli=num_moduli,
+                      fastmode=fastmode, backend=backend, block=block)
     return x

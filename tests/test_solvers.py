@@ -432,3 +432,61 @@ def test_inv_matches_numpy_and_distributes():
 def test_inv_rejects_nonsquare():
     with pytest.raises(ValueError):
         solvers.inv(jnp.ones((4, 6)))
+
+
+@pytest.mark.parametrize("lower", [True, False])
+def test_potrs_solves_from_factor(lower):
+    rng = _rng(40)
+    n = 96
+    a = _spd(rng, n)
+    b = rng.standard_normal((n, 5))
+    chol = solvers.potrf(jnp.asarray(a), lower=lower, num_moduli=14, block=32)
+    x = np.asarray(solvers.potrs(chol, jnp.asarray(b), lower=lower,
+                                 num_moduli=14, block=32))
+    resid = np.max(np.abs(a @ x - b)) / np.max(np.abs(b))
+    assert resid < 1e-12, resid
+
+
+def test_potrs_vector_rhs_squeezes():
+    rng = _rng(41)
+    n = 64
+    a = _spd(rng, n)
+    b = rng.standard_normal(n)
+    chol = solvers.potrf(jnp.asarray(a), num_moduli=14, block=32)
+    x = solvers.potrs(chol, jnp.asarray(b), num_moduli=14, block=32)
+    assert x.ndim == 1
+    resid = np.max(np.abs(a @ np.asarray(x) - b)) / np.max(np.abs(b))
+    assert resid < 1e-12, resid
+
+
+def test_posv_refinement_rescues_low_nu():
+    """SPD variant of the HPL-MxP pattern: nu=6 Cholesky + high-accuracy
+    emulated residuals recover an f64-level solution."""
+    rng = _rng(42)
+    n = 96
+    a = _spd(rng, n)
+    b = rng.standard_normal((n,))
+    x0 = np.asarray(solvers.posv(jnp.asarray(a), jnp.asarray(b),
+                                 num_moduli=6, block=32, refine_steps=0))
+    x2 = np.asarray(solvers.posv(jnp.asarray(a), jnp.asarray(b),
+                                 num_moduli=6, block=32, refine_steps=2))
+    r0 = np.max(np.abs(a @ x0 - b))
+    r2 = np.max(np.abs(a @ x2 - b))
+    assert r2 < r0 * 1e-2
+    assert r2 / np.max(np.abs(b)) < 1e-12
+
+
+def test_posv_matches_lu_solve_quality_and_rejects_nonsquare():
+    rng = _rng(43)
+    n = 64
+    a = _spd(rng, n)
+    b = rng.standard_normal((n, 3))
+    x_po = np.asarray(solvers.posv(jnp.asarray(a), jnp.asarray(b),
+                                   num_moduli=14, block=32))
+    x_lu = np.asarray(solvers.solve(jnp.asarray(a), jnp.asarray(b),
+                                    num_moduli=14, block=32))
+    want = np.linalg.solve(a, b)
+    assert np.max(np.abs(x_po - want)) < 1e-10
+    assert np.max(np.abs(x_lu - want)) < 1e-10
+    with pytest.raises(ValueError):
+        solvers.posv(jnp.ones((4, 3)), jnp.ones(4))
