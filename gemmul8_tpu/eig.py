@@ -42,13 +42,20 @@ __all__ = ["svd", "eigh"]
 
 
 def _pick_block(n: int, block: Optional[int]) -> int:
-    """Block width: must divide n (uniform 2b-wide batched gathers)."""
+    """Block width: must divide n (uniform 2b-wide batched gathers) AND
+    give at least two blocks -- a single n-wide block yields zero rotation
+    pairs, so the sweep would silently do nothing. (n == 1 is the only
+    unavoidable single-block case and is exact with zero rotations.)"""
     if block is not None:
         if n % block:
             raise ValueError(f"block {block} must divide n={n}")
+        if block == n and n > 1:
+            raise ValueError(
+                f"block {block} == n gives a single block and no rotation "
+                f"pairs; need block <= n//2")
         return block
     target = max(8, min(128, n // 8))
-    for b in range(min(target, n), 0, -1):
+    for b in range(min(target, n // 2), 0, -1):
         if n % b == 0:
             return b
     return 1
@@ -112,8 +119,9 @@ def _pair_sharding(mesh, pairs_per_round: int):
     if pairs_per_round % devs.size:
         raise ValueError(
             f"mesh with {devs.size} devices needs the pairs-per-round "
-            f"({pairs_per_round}) divisible by it; pick a block width "
-            f"giving n/(2*block) % n_devices == 0")
+            f"({pairs_per_round}) divisible by it; pairs-per-round is "
+            f"floor(nb/2) for nb = n/block blocks -- pick a block width "
+            f"making that a multiple of n_devices")
     flat = Mesh(devs, ("pairs",))
     return NamedSharding(flat, PartitionSpec("pairs", None, None))
 
@@ -167,6 +175,8 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
     for sweep in range(max_sweeps):
         off = jnp.zeros((), a.dtype)
         for pairs in rounds:
+            if not pairs:           # nb == 1 (n == 1): nothing to rotate
+                continue
             cols = _pair_cols(pairs, b)
             x = _shard(_gather_cols(w, cols), shd)          # (P, m, 2b)
             g = gemm_batched(x.transpose(0, 2, 1), x, num_moduli=nu,
@@ -235,6 +245,8 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
     for sweep in range(max_sweeps):
         off2 = jnp.zeros((), a.dtype)
         for pairs in rounds:
+            if not pairs:           # nb == 1 (n == 1): nothing to rotate
+                continue
             cols = _pair_cols(pairs, b)
             rows = a.take(cols.reshape(-1), axis=0).reshape(
                 cols.shape[0], 2 * b, n)
@@ -254,7 +266,11 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
                 _shard(_gather_cols(v, cols), shd), j, num_moduli=nu,
                 fastmode=fastmode, backend=backend))
         a = (a + a.T) * 0.5
-        off_h = float(jnp.sqrt(off2) / jnp.maximum(fro, 1e-300))
+        # finfo.tiny, not a float64 literal: 1e-300 underflows to 0.0 in
+        # f32, which would make the zero-matrix guard a no-op (0/0 = NaN
+        # never compares <= stop, burning all max_sweeps)
+        off_h = float(jnp.sqrt(off2) /
+                      jnp.maximum(fro, float(jnp.finfo(a.dtype).tiny)))
         if off_h <= stop:
             break
         if sweep >= 4 and prev_off is not None and off_h >= prev_off:

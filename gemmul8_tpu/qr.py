@@ -26,10 +26,11 @@ fastmode defaults to "robust" like solvers.py: V^T V is a Gram product
 reference fast-shift formula can silently wrap the CRT; see the solvers
 module docstring and tests/test_solvers.py::test_gram_products_wrap_...).
 
-Numerical contract: tau == 0 panels (exactly rank-deficient columns) are
-not supported by the closed-form T (LAPACK allows H_j = I); qr/lstsq here
-require panels of full column rank, the standard assumption for
-least-squares.
+Numerical contract: tau_j == 0 reflectors (H_j = I -- LAPACK dlarfg's
+convention for an already-reduced column, which EVERY square matrix hits
+on its final reflector) take the exact closed-form limit: T's j-th row
+and column are zero (see _block_t). lstsq additionally requires full
+column rank for the final R solve, the standard least-squares assumption.
 """
 from typing import Optional
 
@@ -39,7 +40,7 @@ import jax.numpy as jnp
 from . import tables
 from .core import gemm, syrk
 from .solvers import (_blocks, _check_mesh_blocking, _check_real_2d,
-                      _default_block, _schur_update, trsm)
+                      _default_block, _dist_gemm, _schur_update, trsm)
 
 __all__ = ["geqrf", "ormqr", "qr", "lstsq"]
 
@@ -60,24 +61,27 @@ def _block_t(v, tau, *, num_moduli, fastmode, backend, mesh):
         w = syrk(v, trans=True, num_moduli=num_moduli, fastmode=fastmode,
                  backend=backend)
     else:
-        from .parallel import summa_gemm
-        w = summa_gemm(v.T, v, mesh=mesh, num_moduli=num_moduli,
+        w = _dist_gemm(v.T, v, mesh=mesh, num_moduli=num_moduli,
                        fastmode=fastmode, backend=backend)
-    m = jnp.triu(w, 1) + jnp.diag(1.0 / tau)
+    # tau_j == 0 means H_j = I (LAPACK dlarfg with an empty tail -- EVERY
+    # square matrix hits it on its final reflector; not rank deficiency).
+    # The exact limit of T = inv(diag(1/tau) + striu(V'V)) as 1/tau_j -> inf
+    # is T with row j and column j identically zero (row j of striu(V'V) is
+    # zero because v_k[j] = 0 for k > j), so: solve with a finite dummy
+    # diagonal there, then mask those rows/columns to the exact limit --
+    # no inf on the device (TPU triangular_solve can turn inf into NaN).
+    good = tau != 0
+    safe_inv = jnp.where(good, 1.0 / jnp.where(good, tau, 1.0), 1.0)
+    m = jnp.triu(w, 1) + jnp.diag(safe_inv)
     eye = jnp.eye(v.shape[1], dtype=v.dtype)
-    return jax.lax.linalg.triangular_solve(m, eye, left_side=True,
-                                           lower=False)
+    t = jax.lax.linalg.triangular_solve(m, eye, left_side=True, lower=False)
+    return jnp.where(good[:, None] & good[None, :], t, 0.0)
 
 
 def _apply_block(v, t, c, *, trans, num_moduli, fastmode, backend, mesh):
     """(I - V T' V') C when trans else (I - V T V') C, bulk GEMMs emulated."""
-    if mesh is None:
-        y = gemm(v.T, c, num_moduli=num_moduli, fastmode=fastmode,
-                 backend=backend)
-    else:
-        from .parallel import summa_gemm
-        y = summa_gemm(v.T, c, mesh=mesh, num_moduli=num_moduli,
-                       fastmode=fastmode, backend=backend)
+    y = _dist_gemm(v.T, c, mesh=mesh, num_moduli=num_moduli,
+                   fastmode=fastmode, backend=backend)
     z = (t.T if trans else t) @ y
     return _schur_update(v, z, c, mesh=mesh, num_moduli=num_moduli,
                          fastmode=fastmode, backend=backend)
@@ -96,12 +100,23 @@ def geqrf(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     see solvers._schur_update).
     """
     a = jnp.asarray(a)
+    packed, taus, _ = _geqrf_t(a, num_moduli=num_moduli, fastmode=fastmode,
+                               backend=backend, block=block, mesh=mesh)
+    return packed, taus
+
+
+def _geqrf_t(a, *, num_moduli, fastmode, backend, block, mesh):
+    """geqrf body that also returns the per-block compact-WY T factors
+    (None for the last block when no trailing update needed it), so
+    qr()/lstsq() can hand them to ormqr instead of re-running one emulated
+    Gram product per block."""
     _check_real_2d(a, "A")
     m, n = a.shape
     kmin = min(m, n)
     blk = block or _default_block(kmin)
     _check_mesh_blocking(mesh, (m, n), blk, "geqrf")
     taus = []
+    ts = []
     for (lo, hi) in _blocks(kmin, blk):
         bw = hi - lo
         h, tau = jnp.linalg.qr(a[lo:, lo:hi], mode="raw")
@@ -112,21 +127,29 @@ def geqrf(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
             v = _panel_vt(packed_panel, bw)
             t = _block_t(v, tau, num_moduli=num_moduli, fastmode=fastmode,
                          backend=backend, mesh=mesh)
+            ts.append(t)
             # trailing: C <- Q' C = (I - V T' V') C
             upd = _apply_block(v, t, a[lo:, hi:], trans=True,
                                num_moduli=num_moduli, fastmode=fastmode,
                                backend=backend, mesh=mesh)
             a = a.at[lo:, hi:].set(upd)
-    return a, (jnp.concatenate(taus) if len(taus) > 1 else taus[0])
+        else:
+            ts.append(None)
+    return a, (jnp.concatenate(taus) if len(taus) > 1 else taus[0]), ts
 
 
 def ormqr(packed: jax.Array, taus: jax.Array, c: jax.Array, *,
           trans: bool = False, num_moduli: int = 8, fastmode="robust",
           backend: str = tables.Backend.INT8,
-          block: Optional[int] = None, mesh=None) -> jax.Array:
+          block: Optional[int] = None, mesh=None, ts=None) -> jax.Array:
     """Apply Q (or Q^T with trans=True) from geqrf to C, LAPACK dormqr
     (side="L") analog. Block reflectors are re-derived from (packed, taus)
-    like LAPACK; the two large GEMMs per block are emulated."""
+    like LAPACK; the two large GEMMs per block are emulated.
+
+    `ts` optionally supplies the per-block compact-WY T factors already
+    computed during the factorization (same `block`!) so they are not
+    re-derived -- one emulated Gram product saved per block; qr()/lstsq()
+    pass them automatically."""
     packed = jnp.asarray(packed)
     c = jnp.asarray(c)
     _check_real_2d(packed, "packed")
@@ -139,13 +162,19 @@ def ormqr(packed: jax.Array, taus: jax.Array, c: jax.Array, *,
     _check_mesh_blocking(mesh, (m, kmin), blk, "ormqr",
                          rhs_cols=c.shape[1])
     spans = _blocks(kmin, blk)
+    if ts is not None and len(ts) != len(spans):
+        raise ValueError(f"ts has {len(ts)} block factors for {len(spans)} "
+                         f"blocks -- was geqrf run with the same block?")
     # Q = (I - V1 T1 V1') ... (I - Vp Tp Vp'): apply blocks in
     # factorization order for Q', reverse for Q
-    for (lo, hi) in (spans if trans else spans[::-1]):
+    order = range(len(spans)) if trans else range(len(spans) - 1, -1, -1)
+    for i in order:
+        lo, hi = spans[i]
         bw = hi - lo
         v = _panel_vt(packed[lo:, lo:hi], bw)
-        t = _block_t(v, taus[lo:hi], num_moduli=num_moduli,
-                     fastmode=fastmode, backend=backend, mesh=mesh)
+        t = ts[i] if ts is not None and ts[i] is not None else _block_t(
+            v, taus[lo:hi], num_moduli=num_moduli,
+            fastmode=fastmode, backend=backend, mesh=mesh)
         upd = _apply_block(v, t, c[lo:], trans=trans,
                            num_moduli=num_moduli, fastmode=fastmode,
                            backend=backend, mesh=mesh)
@@ -165,11 +194,12 @@ def qr(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     _check_real_2d(a, "A")
     m, n = a.shape
     kmin = min(m, n)
-    packed, taus = geqrf(a, num_moduli=num_moduli, fastmode=fastmode,
-                         backend=backend, block=block, mesh=mesh)
+    packed, taus, ts = _geqrf_t(a, num_moduli=num_moduli, fastmode=fastmode,
+                                backend=backend, block=block, mesh=mesh)
     eye = jnp.eye(m, kmin, dtype=a.dtype)
     q = ormqr(packed, taus, eye, trans=False, num_moduli=num_moduli,
-              fastmode=fastmode, backend=backend, block=block, mesh=mesh)
+              fastmode=fastmode, backend=backend, block=block, mesh=mesh,
+              ts=ts)
     return q, jnp.triu(packed[:kmin])
 
 
@@ -192,10 +222,10 @@ def lstsq(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
         b = b[:, None]
     if b.shape[0] != m:
         raise ValueError(f"B rows {b.shape[0]} != {m}")
-    packed, taus = geqrf(a, num_moduli=num_moduli, fastmode=fastmode,
-                         backend=backend, block=block, mesh=mesh)
+    packed, taus, ts = _geqrf_t(a, num_moduli=num_moduli, fastmode=fastmode,
+                                backend=backend, block=block, mesh=mesh)
     qtb = ormqr(packed, taus, b, trans=True, num_moduli=num_moduli,
-                fastmode=fastmode, backend=backend, block=block)
+                fastmode=fastmode, backend=backend, block=block, ts=ts)
     x = trsm(jnp.triu(packed[:n]), qtb[:n], lower=False,
              num_moduli=num_moduli, fastmode=fastmode, backend=backend,
              block=block)

@@ -83,6 +83,18 @@ def _check_mesh_blocking(mesh, n_or_shape, blk, name, rhs_cols=None):
             f"divisible by mesh.y; got {rhs_cols}")
 
 
+def _dist_gemm(a_blk, b_blk, *, mesh, num_moduli, fastmode, backend):
+    """Plain emulated product a_blk @ b_blk, distributed through SUMMA when
+    `mesh` is given -- the one local/distributed dispatch point shared by
+    the solver and QR layers."""
+    if mesh is None:
+        return gemm(a_blk, b_blk, num_moduli=num_moduli, fastmode=fastmode,
+                    backend=backend)
+    from .parallel import summa_gemm
+    return summa_gemm(a_blk, b_blk, mesh=mesh, num_moduli=num_moduli,
+                      fastmode=fastmode, backend=backend)
+
+
 def _schur_update(a_blk, b_blk, c_blk, *, mesh, num_moduli, fastmode,
                   backend, sign=-1.0):
     """c_blk + sign * a_blk @ b_blk, emulated; distributed over `mesh` when
@@ -100,8 +112,7 @@ def _schur_update(a_blk, b_blk, c_blk, *, mesh, num_moduli, fastmode,
     if mesh is None:
         return gemm(a_blk, b_blk, num_moduli=num_moduli, fastmode=fastmode,
                     backend=backend, alpha=sign, beta=1.0, c=c_blk)
-    from .parallel import summa_gemm
-    prod = summa_gemm(a_blk, b_blk, mesh=mesh, num_moduli=num_moduli,
+    prod = _dist_gemm(a_blk, b_blk, mesh=mesh, num_moduli=num_moduli,
                       fastmode=fastmode, backend=backend)
     return c_blk - prod if sign == -1.0 else c_blk + prod
 
@@ -296,6 +307,11 @@ def potrf(a: jax.Array, *, lower: bool = True, num_moduli: int = 8,
     n = a.shape[0]
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"A must be square, got {a.shape}")
+    if not lower:
+        # dpotrf uplo='U' reads ONLY the upper triangle; the factorization
+        # below reads only the lower, so run it on A^T (a no-op for a full
+        # symmetric input, and correct for upper-triangle-only storage)
+        a = a.T
     blk = block or _default_block(n)
     _check_mesh_blocking(mesh, n, blk, "potrf")
     cols = []  # finished L block columns, each (n - lo, width)
@@ -402,6 +418,8 @@ def lu_solve(lu: jax.Array, perm: jax.Array, b: jax.Array, *,
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
+        mesh = None  # vector RHS stays local (docstring contract; a width-1
+        #              column can never satisfy the mesh.y divisibility)
     pb = b.take(jnp.asarray(perm), axis=0)
     y = trsm(lu, pb, lower=True, unit_diag=True, num_moduli=num_moduli,
              fastmode=fastmode, backend=backend, block=block, mesh=mesh)
@@ -487,6 +505,7 @@ def potrs(chol: jax.Array, b: jax.Array, *, lower: bool = True,
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
+        mesh = None  # vector RHS stays local (see lu_solve)
     y = trsm(chol, b, lower=lower, trans_a=not lower, num_moduli=num_moduli,
              fastmode=fastmode, backend=backend, block=block, mesh=mesh)
     x = trsm(chol, y, lower=lower, trans_a=lower, num_moduli=num_moduli,

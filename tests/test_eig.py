@@ -166,3 +166,40 @@ def test_eigh_distributed_matches_local():
 def test_eig_distributed_rejects_indivisible_pairs():
     with pytest.raises(ValueError):  # 4 pairs/round, 8 devices
         g8.svd(jnp.ones((64, 64)), block=8, mesh=_mesh_of(2, 4))
+
+
+def test_small_n_default_block_correct():
+    """n <= 8 with the default block previously picked block == n (a single
+    block, zero rotation pairs): eigh silently returned the sorted diagonal
+    and svd crashed. The block picker must always give >= 2 blocks."""
+    rng = np.random.default_rng(48)
+    g = rng.standard_normal((8, 8))
+    sym = (g + g.T) / 2
+    w, v = eigmod.eigh(jnp.asarray(sym), num_moduli=14)
+    want = np.linalg.eigvalsh(sym)
+    assert np.max(np.abs(np.asarray(w) - want)) < 1e-10
+    resid = np.max(np.abs(sym @ np.asarray(v) - np.asarray(v) * np.asarray(w)))
+    assert resid < 1e-9
+    u, s, vt = eigmod.svd(jnp.asarray(g), num_moduli=14)
+    assert np.max(np.abs(np.asarray(s) - np.linalg.svd(g, compute_uv=False))) < 1e-10
+
+
+def test_single_block_raises_and_n1_exact():
+    rng = np.random.default_rng(49)
+    g = rng.standard_normal((8, 8))
+    with pytest.raises(ValueError):
+        eigmod.eigh(jnp.asarray((g + g.T) / 2), block=8)
+    w, v = eigmod.eigh(jnp.asarray([[3.5]]))
+    assert float(w[0]) == 3.5 and float(v[0, 0]) == 1.0
+    u, s, vt = eigmod.svd(jnp.asarray([[-2.0]]))
+    assert float(s[0]) == 2.0
+    np.testing.assert_allclose(np.asarray(u) * s @ np.asarray(vt),
+                               [[-2.0]], atol=0)
+
+
+def test_f32_zero_matrix_converges_immediately():
+    """f32 eigh of the zero matrix: the old 1e-300 guard underflowed to 0
+    in f32, 0/0 = NaN never met the stop test, and all max_sweeps ran."""
+    w, v = eigmod.eigh(jnp.zeros((64, 64), jnp.float32), max_sweeps=3)
+    assert np.all(np.asarray(w) == 0)
+    assert np.all(np.isfinite(np.asarray(v)))

@@ -172,3 +172,35 @@ def test_lstsq_distributed_factorization():
                                num_moduli=12, block=32, mesh=_mesh_of(2, 4)))
     ref = np.linalg.lstsq(a, b, rcond=None)[0]
     assert np.max(np.abs(x - ref)) / np.max(np.abs(ref)) < 1e-11
+
+
+def test_square_qr_tau_zero_exact_limit():
+    """Every square matrix's final reflector has tau == 0 (dlarfg with an
+    empty tail => H = I); the closed-form T must take the exact limit
+    (zero row/column) with no inf/NaN on any backend. An already-upper-
+    triangular input drives tau == 0 for EVERY reflector: Q must be
+    exactly I and R exactly A."""
+    import gemmul8_tpu as g8
+    rng = np.random.default_rng(46)
+    n = 64
+    a = np.triu(rng.standard_normal((n, n))) + n * np.eye(n)
+    q, r = g8.qr(jnp.asarray(a), num_moduli=14, block=32)
+    q, r = np.asarray(q), np.asarray(r)
+    assert np.array_equal(q, np.eye(n)), "all-tau-zero Q must be exactly I"
+    assert np.array_equal(r, a)
+    # generic square matrix: finite everywhere, accurate reconstruction
+    a2 = rng.standard_normal((n, n))
+    q2, r2 = g8.qr(jnp.asarray(a2), num_moduli=14, block=32)
+    q2, r2 = np.asarray(q2), np.asarray(r2)
+    assert np.all(np.isfinite(q2))
+    assert np.max(np.abs(q2 @ r2 - a2)) / np.max(np.abs(a2)) < 1e-13
+
+
+def test_ormqr_ts_mismatch_raises():
+    import gemmul8_tpu as g8
+    rng = np.random.default_rng(47)
+    a = rng.standard_normal((64, 64))
+    packed, taus = g8.geqrf(jnp.asarray(a), num_moduli=10, block=32)
+    with pytest.raises(ValueError):
+        g8.ormqr(packed, taus, jnp.eye(64), num_moduli=10, block=16,
+                 ts=[None, None])

@@ -490,3 +490,41 @@ def test_posv_matches_lu_solve_quality_and_rejects_nonsquare():
     assert np.max(np.abs(x_lu - want)) < 1e-10
     with pytest.raises(ValueError):
         solvers.posv(jnp.ones((4, 3)), jnp.ones(4))
+
+
+def test_potrf_upper_triangle_only_storage():
+    """dpotrf uplo='U' convention: with lower=False only the UPPER triangle
+    is read, so LAPACK-style upper-only storage must factor correctly
+    (previously the zero subdiagonal silently produced a wrong factor)."""
+    rng = _rng(44)
+    a = _spd(rng, 96)
+    a_upper_only = np.triu(a)
+    r = np.asarray(solvers.potrf(jnp.asarray(a_upper_only), lower=False,
+                                 num_moduli=14, block=32))
+    err = np.max(np.abs(r.T @ r - a)) / np.max(np.abs(a))
+    assert err < 1e-13, err
+    # and a full symmetric input gives the same bits (a.T == a)
+    r_full = np.asarray(solvers.potrf(jnp.asarray(a), lower=False,
+                                      num_moduli=14, block=32))
+    np.testing.assert_array_equal(r, r_full)
+
+
+def test_vector_rhs_stays_local_with_mesh():
+    """lu_solve/potrs with a 1-D RHS and mesh= must run (docstring contract:
+    vector RHS stays local); previously the mesh blocking check raised on
+    the width-1 column."""
+    rng = _rng(45)
+    n = 128
+    mesh = _mesh_of(2, 4)
+    a = rng.standard_normal((n, n)) + n * np.eye(n)
+    b = rng.standard_normal(n)
+    lu, perm = solvers.getrf(jnp.asarray(a), num_moduli=12, block=32,
+                             mesh=mesh)
+    x = np.asarray(solvers.lu_solve(lu, perm, jnp.asarray(b), num_moduli=12,
+                                    block=32, mesh=mesh))
+    assert np.max(np.abs(a @ x - b)) / np.max(np.abs(b)) < 1e-12
+    spd = _spd(rng, n)
+    chol = solvers.potrf(jnp.asarray(spd), num_moduli=12, block=32, mesh=mesh)
+    xs = np.asarray(solvers.potrs(chol, jnp.asarray(b), num_moduli=12,
+                                  block=32, mesh=mesh))
+    assert np.max(np.abs(spd @ xs - b)) / np.max(np.abs(b)) < 1e-12
