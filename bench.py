@@ -67,10 +67,19 @@ def timed_loop(fn, a, b, iters, ping):
         return s
 
     np.asarray(loop(a, b))  # compile + warm up
-    t0 = time.perf_counter()
-    np.asarray(loop(a, b))
-    dt = time.perf_counter() - t0
-    return max(dt - ping, 1e-9) / iters
+    # median of 3 timed loop runs: one transport hiccup must not become the
+    # headline number (each run already amortizes `iters` chained GEMMs, so
+    # this guards the tail, not the mean). Deliberately NOT benchmarks/
+    # _timing.timed_loop: that helper re-dispatches per iteration and
+    # perturbs its first operand host-side; here iterations chain inside
+    # ONE jit so only a scalar crosses the tunneled transport.
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(loop(a, b))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return max(ts[1] - ping, 1e-9) / iters
 
 
 def main():

@@ -55,7 +55,9 @@ def main():
         # first-contact retry: the tunneled worker can hold a previous
         # client's buffers for minutes after it exits; back off until the
         # stale state is released rather than dying on RESOURCE_EXHAUSTED
-        for attempt in range(int(os.environ.get("G8_ALLOC_RETRIES", "2"))):
+        # G8_ALLOC_RETRIES counts RETRIES: 0 still means one attempt
+        retries = int(os.environ.get("G8_ALLOC_RETRIES", "2"))
+        for attempt in range(retries + 1):
             try:
                 a = jax.jit(lambda key: jax.random.normal(
                     key, (m, k), jnp.float64))(jax.random.PRNGKey(0))
@@ -65,9 +67,7 @@ def main():
                 b.block_until_ready()
                 break
             except Exception as e:
-                if ("RESOURCE_EXHAUSTED" not in str(e)
-                        or attempt >= int(os.environ.get(
-                            "G8_ALLOC_RETRIES", "2")) - 1):
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt >= retries:
                     raise
                 print(f"device memory not yet released (attempt {attempt}); "
                       f"waiting 60 s", file=sys.stderr)

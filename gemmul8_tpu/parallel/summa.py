@@ -167,15 +167,10 @@ def _extract_ub_dist(x, backend, scale_axis, axis_name):
         amax = jax.lax.pmax(jnp.max(ax, axis=reduce_axis), axis_name)
     E = quantize.ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
     sft_pre = np.int32(quantize.MAX_UFP[backend]) - E
-    y = quantize.pow2_scale(ax, jnp.expand_dims(sft_pre, reduce_axis))
-    c1 = y.astype(jnp.float32)
-    tail = (y - c1.astype(y.dtype)) if y.dtype != jnp.float32 \
-        else jnp.zeros_like(c1)
-    ub = jnp.ceil(c1) + (tail.astype(jnp.float32) > 0)
-    ub = jnp.where(ax > 0, jnp.maximum(ub, 1.0), 0.0)
-    if backend == tables.Backend.INT8:
-        return ub.astype(jnp.int8), sft_pre
-    return ub.astype(jnp.bfloat16), sft_pre
+    # the extraction itself is the single-device one (incl. the FP8 bf16
+    # round-UP bump); only the amax reduction above is distributed
+    return quantize.extract_ub_with_pre(ax, sft_pre, reduce_axis,
+                                        backend), sft_pre
 
 
 def _shift_accu_dist(a_blk, b_blk, num_moduli, backend):
@@ -314,9 +309,10 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
     # FP8 accumulates wrapped residues in [-p/2, p/2] -> |acc| <= steps * p/2.
     acc_bound = steps * p_max if backend == tables.Backend.INT8 \
         else steps * p_max // 2
-    assert acc_bound < 2 ** 31, (
-        f"streamed residue accumulator would overflow int32: {steps} steps x "
-        f"p_max={p_max}; raise k_panel or use the gather path")
+    if acc_bound >= 2 ** 31:   # raise, not assert: must survive python -O
+        raise ValueError(
+            f"streamed residue accumulator would overflow int32: {steps} "
+            f"steps x p_max={p_max}; raise k_panel or use the gather path")
     mods = jnp.asarray(tables.moduli(backend)[:num_moduli],
                        jnp.int32).reshape(num_moduli, 1, 1)
 
@@ -329,24 +325,28 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
                              (planes, w, n_loc), 1, x_size, bcast)
         return a_pan, b_pan
 
-    def body(t, carry):
-        acc, ap, bp = carry
-        # prefetch the next panel first: independent of this step's dot, so
-        # the compiler is free to overlap the collectives with the MXU work
-        nxt = bcast_fn(jnp.minimum(t + 1, steps - 1))
+    def step_acc(acc, ap, bp):
         if backend == tables.Backend.FP8:
             from .. import fp8
             c3 = fp8._batched_dot(ap, bp).astype(jnp.int32)
             part = fp8._reassemble(c3, num_moduli)  # wrapped, |.| <= p/2
-            acc = acc + part                        # <= steps*p/2: exact
-        else:
-            part = core.residue_matmul(ap, bp)      # exact: w <= 2^17
-            acc = acc + part % mods                 # residues add mod p
-        return (acc, *nxt)
+            return acc + part                       # <= steps*p/2: exact
+        part = core.residue_matmul(ap, bp)          # exact: w <= 2^17
+        return acc + part % mods                    # residues add mod p
+
+    def body(t, carry):
+        acc, ap, bp = carry
+        # prefetch the next panel first: independent of this step's dot, so
+        # the compiler is free to overlap the collectives with the MXU work
+        nxt = bcast_fn(t + 1)
+        return (step_acc(acc, ap, bp), *nxt)
 
     a0, b0 = bcast_fn(jnp.int32(0))
     acc0 = jnp.zeros((num_moduli, m_loc, n_loc), jnp.int32)
-    acc, _, _ = jax.lax.fori_loop(0, steps, body, (acc0, a0, b0))
+    # the LAST step is peeled out of the loop so no (steps+1)-th broadcast
+    # is ever issued: measured ICI traffic == summa_bytes_moved's model
+    acc, ap, bp = jax.lax.fori_loop(0, steps - 1, body, (acc0, a0, b0))
+    acc = step_acc(acc, ap, bp)
     r = acc % mods                   # exact: acc_bound < 2^31 asserted above
     mid_t = jnp.int8 if backend == tables.Backend.INT8 else jnp.int16
     c_mid = jnp.where(2 * r >= mods, r - mods, r).astype(mid_t)
@@ -355,7 +355,7 @@ def _summa_stream_local(a_blk, b_blk, num_moduli, fastmode, backend,
 
 
 def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
-               num_moduli: int = 8, fastmode: bool = True,
+               num_moduli: int = 8, fastmode: bool | str = True,
                backend: str = tables.Backend.INT8,
                epilogue: str = "auto", k_panel: int | None = None,
                bcast: str = "ring") -> jax.Array:
@@ -366,7 +366,9 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
     shape (including 1x1) thanks to order-free shift/reduction design.
 
     fastmode=False runs the distributed two-phase accurate-mode estimation
-    (the extract GEMM sharded over the same mesh).
+    (the extract GEMM sharded over the same mesh); fastmode="robust" uses
+    the scale-invariant fast shifts (see quantize.shift_fast) -- same cost
+    as True, rigorous CRT budget for adversarial operand scales.
 
     k_panel selects the K-panel-STREAMING algorithm with per-device panel
     memory O(nu * m_loc * k_panel) instead of the full-K gather -- required
@@ -408,7 +410,7 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
                 if x.sharding == tgt:
                     return x
             if not x.is_fully_addressable:
-                return jax.jit(lambda y: y, out_shardings=tgt)(x)
+                return _reshard_jit(tgt)(x)
         return jax.device_put(x, tgt)
 
     a = _ensure_sharded(a)
@@ -425,6 +427,30 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
             raise ValueError(
                 f"k_panel must be <= 2^{k_lim} for {backend} "
                 "(exact accumulation of panel products)")
+    fn = _summa_jit(mesh, num_moduli, fastmode, backend, epilogue,
+                    k_panel, bcast, k)
+    return fn(a, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _reshard_jit(tgt):
+    """One jitted identity-relayout per target sharding (see _summa_jit for
+    why the wrapper must be cached)."""
+    return jax.jit(lambda y: y, out_shardings=tgt)
+
+
+@functools.lru_cache(maxsize=None)
+def _summa_jit(mesh, num_moduli, fastmode, backend, epilogue, k_panel,
+               bcast, k):
+    """One jitted SUMMA program per config: without this cache every
+    summa_gemm call would build a fresh shard_map + jit wrapper, whose
+    identity keys jax's own trace cache -- i.e. a full XLA recompile per
+    call, catastrophic for the solver/QR layers issuing O(n/block) calls
+    per factorization. (jax.jit caches on fn identity + shapes; returning
+    the same wrapper here lets its shape-level cache work.)"""
+    spec = P("x", "y")
+    x_size, y_size = mesh.devices.shape
+    if k_panel is not None:
         body = functools.partial(
             _summa_stream_local, num_moduli=num_moduli, fastmode=fastmode,
             backend=backend, epilogue=epilogue, k_panel=k_panel, k=k,
@@ -436,32 +462,40 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
     # check_vma=False: the Pallas encode kernel's ShapeDtypeStruct outputs
     # carry no varying-mesh-axes annotation, which the vma checker rejects
     # inside shard_map; every output here varies over both axes anyway
-    fn = jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
-                       out_specs=spec, check_vma=False)
-    return jax.jit(fn)(a, b)
+    return jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(spec, spec),
+                                 out_specs=spec, check_vma=False))
 
 
 def summa_work_bytes(m: int, n: int, k: int, mesh_shape: tuple[int, int],
                      num_moduli: int, dtype=jnp.float64,
-                     k_panel: int | None = None) -> int:
+                     k_panel: int | None = None,
+                     backend: str = tables.Backend.INT8) -> int:
     """Per-device peak memory model (bytes) for summa_gemm: inputs + residue
     planes + (gathered K panels | 2 streamed panels) + residue accumulator +
     epilogue buffers + output. The planning analog of gemmul8::workSize for
     the distributed layer; with k_panel it proves the 65536^3 (config 5)
-    footprint fits a pod-slice HBM."""
+    footprint fits a pod-slice HBM.
+
+    FP8 planes carry 3 bf16 slots per element (6 B vs INT8's 1 B) and an
+    int16 c_mid -- mirroring core.work_bytes' per-backend sizes."""
     X, Y = mesh_shape
     it = jnp.dtype(dtype).itemsize
+    plane_b = 6 if backend == tables.Backend.FP8 else 1
+    mid_b = 2 if backend == tables.Backend.FP8 else 1
     m_l, n_l, k_y, k_x = m // X, n // Y, k // Y, k // X
     nu = num_moduli
     inputs = (m_l * k_y + k_x * n_l) * it
-    planes = nu * (m_l * k_y + k_x * n_l)
+    planes = nu * plane_b * (m_l * k_y + k_x * n_l)
     if k_panel is None:
-        panels = nu * (m_l * k + k * n_l)             # full-K gathers
-        acc = 0                                        # dot -> c_mid directly
+        panels = nu * plane_b * (m_l * k + k * n_l)    # full-K gathers
+        # gathered k beyond the exact-dot bound runs the chunked residue
+        # accumulation inside core.residue_gemm (int32 accumulator)
+        k_lim = core.K_CHUNK if backend == tables.Backend.INT8 else (1 << 16)
+        acc = 4 * nu * m_l * n_l if k > k_lim else 0
     else:
-        panels = 2 * nu * k_panel * (m_l + n_l)        # double-buffered
+        panels = 2 * nu * plane_b * k_panel * (m_l + n_l)  # double-buffered
         acc = 4 * nu * m_l * n_l                       # int32 residue acc
-    c_mid = nu * m_l * n_l
+    c_mid = nu * mid_b * m_l * n_l
     epilogue = 2 * 4 * m_l * n_l                       # fused hi/lo f32 pair
     out = m_l * n_l * it
     return inputs + planes + panels + acc + c_mid + epilogue + out
@@ -470,7 +504,8 @@ def summa_work_bytes(m: int, n: int, k: int, mesh_shape: tuple[int, int],
 def summa_bytes_moved(m: int, n: int, k: int, mesh_shape: tuple[int, int],
                       num_moduli: int, k_panel: int | None = None,
                       bcast: str = "ring",
-                      backend: str = tables.Backend.INT8) -> int:
+                      backend: str = tables.Backend.INT8,
+                      fastmode: bool | str = True) -> int:
     """Total collective plane bytes CROSSING LINKS per device (send side) for
     one summa_gemm -- the ICI traffic model that motivates quantize-before-
     communicate and the ring broadcast:
@@ -482,18 +517,27 @@ def summa_bytes_moved(m: int, n: int, k: int, mesh_shape: tuple[int, int],
       * streaming "ring": each panel crosses each link exactly once --
         (team-1)/team panel bytes per device per step, half of psum.
 
-    Shift/norm collectives (O(m+n) scalars) are negligible and excluded.
+    Fast-mode shift/norm collectives (O(m+n) scalars) are negligible and
+    excluded; ACCURATE mode (fastmode=False) additionally all-gathers one
+    full ub plane per operand for the estimation GEMM (int8/bf16 -- the
+    same ring cost as one of the nu residue planes), which IS counted.
     """
     X, Y = mesh_shape
     nu = num_moduli
     plane_b = 6 if backend == tables.Backend.FP8 else 1
     m_l, n_l = m // X, n // Y
+    accu = 0
+    if fastmode is False:
+        ub_b = 2 if backend == tables.Backend.FP8 else 1   # bf16 | int8
+        accu = int((Y - 1) / Y * m_l * k * ub_b
+                   + (X - 1) / X * k * n_l * ub_b)
     if k_panel is None:
         ag_a = (Y - 1) / Y * nu * m_l * k * plane_b
         ag_b = (X - 1) / X * nu * k * n_l * plane_b
-        return int(ag_a + ag_b)
+        return int(ag_a + ag_b) + accu
     steps = k // k_panel
     pan_a = nu * m_l * k_panel * plane_b
     pan_b = nu * k_panel * n_l * plane_b
     fac = 2.0 if bcast == "psum" else 1.0
-    return int(steps * fac * ((Y - 1) / Y * pan_a + (X - 1) / X * pan_b))
+    return int(steps * fac
+               * ((Y - 1) / Y * pan_a + (X - 1) / X * pan_b)) + accu

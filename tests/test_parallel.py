@@ -280,3 +280,44 @@ def test_summa_stream_memory_model_config5():
     gather_delta = (summa_work_bytes(1 << 16, 1 << 16, 1 << 17, (4, 8), 16)
                     - summa_work_bytes(1 << 16, 1 << 16, 1 << 16, (4, 8), 16))
     assert inputs_planes_delta < gather_delta  # gather grows much faster in k
+
+
+def test_memory_models_backend_and_fastmode_terms():
+    """Round-3 review fixes: summa_work_bytes models FP8's 6 B/elem planes
+    and int16 c_mid (it used to silently assume INT8 -- a 'fits HBM'
+    conclusion ~6x low); summa_bytes_moved counts accurate mode's ub-plane
+    all-gathers; the gather path charges the chunked int32 accumulator
+    beyond the exact-dot K bound."""
+    from gemmul8_tpu.parallel import summa_bytes_moved, summa_work_bytes
+    i8 = summa_work_bytes(8192, 8192, 8192, (2, 4), 10, k_panel=1024)
+    f8 = summa_work_bytes(8192, 8192, 8192, (2, 4), 10, k_panel=1024,
+                          backend="FP8")
+    assert f8 > 2 * i8  # 6x plane + 2x c_mid bytes (f64 inputs are shared)
+    # gather path: crossing the K_CHUNK bound adds the int32 accumulator
+    lo = summa_work_bytes(1024, 1024, 1 << 17, (1, 1), 10)
+    hi = summa_work_bytes(1024, 1024, (1 << 17) + 1024, (1, 1), 10)
+    assert hi - lo > 4 * 10 * 1024 * 1024  # >= acc term, not just planes
+    fast = summa_bytes_moved(4096, 4096, 4096, (2, 4), 16)
+    accu = summa_bytes_moved(4096, 4096, 4096, (2, 4), 16, fastmode=False)
+    assert accu > fast
+    # the accurate-mode surcharge is ~1/nu of the plane traffic per operand
+    assert (accu - fast) * 10 < fast
+
+
+def test_summa_compiled_program_is_cached():
+    """summa_gemm must reuse ONE jitted shard_map wrapper per config --
+    a fresh wrapper per call would XLA-recompile every solver-layer block
+    step (jit caches key on function identity)."""
+    from gemmul8_tpu.parallel import summa
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(rng.standard_normal((32, 32)))
+    b = jnp.asarray(rng.standard_normal((32, 32)))
+    mesh = mesh_of(2, 2)
+    kw = dict(mesh=mesh, num_moduli=7)
+    c1 = summa.summa_gemm(a, b, **kw)
+    info1 = summa._summa_jit.cache_info()
+    c2 = summa.summa_gemm(a + 1, b, **kw)
+    info2 = summa._summa_jit.cache_info()
+    assert info2.hits > info1.hits, (info1, info2)
+    np.testing.assert_array_equal(
+        np.asarray(summa.summa_gemm(a, b, **kw)), np.asarray(c1))
