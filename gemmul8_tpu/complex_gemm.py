@@ -272,6 +272,19 @@ def _gemm_cplx(a, b, c, alpha, beta, *, num_moduli, fastmode, backend,
     return out
 
 
+def _norm_op(t):
+    """BLAS op flag -> 'N'/'T'/'C'; accepts python/numpy bools ('C' stays
+    distinct from 'T': conjugate transpose)."""
+    if isinstance(t, (bool, np.bool_)):
+        return "T" if t else "N"
+    if t is None:
+        return "N"
+    t = str(t).upper()
+    if t not in ("N", "T", "C"):
+        raise ValueError(f"bad op {t!r}")
+    return t
+
+
 def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
                  fastmode: bool = True, backend: str = tables.Backend.INT8,
                  alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
@@ -279,17 +292,9 @@ def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
     """Emulated complex GEMM: C = alpha * op(A) @ op(B) + beta * C with
     op in {N, T, C} (C = conjugate transpose). Public analog of the reference's
     cgemm/zgemm entry points (gemmul8.cu:126-134)."""
-    def _norm_op(t):
-        if t is True:
-            return "T"
-        if t is False or t is None:
-            return "N"
-        t = str(t).upper()
-        if t not in ("N", "T", "C"):
-            raise ValueError(f"bad op {t!r}")
-        return t
-
     op_a, op_b = _norm_op(trans_a), _norm_op(trans_b)
+    if backend not in (tables.Backend.INT8, tables.Backend.FP8):
+        raise ValueError(f"backend must be 'INT8' or 'FP8', got {backend!r}")
     a = jnp.asarray(a)
     b = jnp.asarray(b)
     if a.ndim != 2 or b.ndim != 2:
@@ -385,21 +390,13 @@ def gemm_planar(ar: jax.Array, ai: jax.Array, br: jax.Array, bi: jax.Array,
     (Cr, Ci), with op in {N, T, C}. The device-native complex entry point for
     accelerators whose runtimes lack complex dtypes (e.g. the v5e PJRT stack);
     bit-identical to gemm() on complex arrays."""
-    def _norm_op(t):
-        if t is True:
-            return "T"
-        if t is False or t is None:
-            return "N"
-        t = str(t).upper()
-        if t not in ("N", "T", "C"):
-            raise ValueError(f"bad op {t!r}")
-        return t
-
     name = {"float32": "complex64", "float64": "complex128"}[
         np.dtype(ar.dtype).name]
     lo, hi = tables.VALID_RANGE[name]
     if not lo <= num_moduli <= hi:
         raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}] for {name}")
+    if backend not in (tables.Backend.INT8, tables.Backend.FP8):
+        raise ValueError(f"backend must be 'INT8' or 'FP8', got {backend!r}")
     return _gemm_planar(ar, ai, br, bi, num_moduli=num_moduli,
                         fastmode=fastmode, backend=backend,
                         op_a=_norm_op(trans_a), op_b=_norm_op(trans_b),

@@ -164,6 +164,22 @@ def _quantize_operands(a, b, num_moduli, fastmode, backend):
     return a_planes, sft_a, b_planes, sft_b
 
 
+def _norm_trans(t, name: str) -> bool:
+    """BLAS trans flag -> bool ("C" == "T" for reals). Accepts python AND
+    numpy bools/ints plus the strings N/T/C (any case); anything else
+    raises -- silently mapping an unknown spelling (e.g. np.bool_(True)'s
+    str 'TRUE') to no-transpose would compute the wrong product."""
+    if isinstance(t, (bool, np.bool_, int, np.integer)):
+        return bool(t)
+    if t is None:
+        return False
+    s = str(t).upper()
+    if s not in ("N", "T", "C"):
+        raise ValueError(
+            f"{name} must be a bool or one of 'N'/'T'/'C', got {t!r}")
+    return s in ("T", "C")
+
+
 def resolve_epilogue(epilogue: str = "auto") -> str:
     """Pick the CRT reconstruction arithmetic.
 
@@ -174,6 +190,11 @@ def resolve_epilogue(epilogue: str = "auto") -> str:
     break the dd path's exactness on TPU. Same results on every platform.
     """
     if epilogue != "auto":
+        if epilogue not in ("ff", "f64"):
+            # a typo must not silently select the f64 path, which loses
+            # bits on TPU's f32-pair f64 emulation
+            raise ValueError(
+                f"epilogue must be 'auto', 'ff' or 'f64', got {epilogue!r}")
         return epilogue
     return "f64" if jax.default_backend() == "cpu" else "ff"
 
@@ -197,9 +218,13 @@ def _emulated_product(a_planes, sft_a, b_planes, sft_b, num_moduli, backend,
     the reference's one-buffer GEMM + conv_hi2mid interleave
     (gemmul8_real.hpp:144-191)."""
     out_dtype = jnp.dtype(out_dtype)
+    # BOTH operands must be GEMM-ready 3-D stacks: precompute/gemm_quantized
+    # can legally mix a Pallas stack with canonical 4-D FP8 planes (layout
+    # depends on each operand's own tile alignment); the fallback
+    # residue_gemm handles the mix, the fused path cannot
     fused_ok = (resolve_epilogue(epilogue) == "ff"
                 and jax.default_backend() != "cpu"
-                and a_planes.ndim == 3)
+                and a_planes.ndim == 3 and b_planes.ndim == 3)
     if (fused_ok and backend == tables.Backend.FP8
             and a_planes.dtype == jnp.bfloat16):
         from . import fp8
@@ -342,21 +367,23 @@ def gemm(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
             " (for batched contractions use the hook or vmap emulate_matmul)")
     if a.dtype != b.dtype:
         raise TypeError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
+    if backend not in (tables.Backend.INT8, tables.Backend.FP8):
+        # checked BEFORE the complex dispatch so a bad backend string gets
+        # this ValueError instead of an AttributeError deep inside tables
+        raise ValueError(f"backend must be 'INT8' or 'FP8', got {backend!r}")
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
         from . import complex_gemm
         return complex_gemm.gemm_complex(
             a, b, num_moduli=num_moduli, fastmode=fastmode, backend=backend,
             alpha=alpha, beta=beta, c=c, trans_a=trans_a, trans_b=trans_b,
             epilogue=epilogue)
-    if backend not in (tables.Backend.INT8, tables.Backend.FP8):
-        raise ValueError(f"backend must be 'INT8' or 'FP8', got {backend!r}")
     lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
     if not lo <= num_moduli <= hi:
         raise ValueError(
             f"num_moduli={num_moduli} out of range [{lo},{hi}] for {a.dtype}")
     # accept BLAS-style "N"/"T"/"C" ops as well as bools ("C" == "T" for reals)
-    trans_a = trans_a if isinstance(trans_a, bool) else str(trans_a).upper() in ("T", "C")
-    trans_b = trans_b if isinstance(trans_b, bool) else str(trans_b).upper() in ("T", "C")
+    trans_a = _norm_trans(trans_a, "trans_a")
+    trans_b = _norm_trans(trans_b, "trans_b")
     has_c = c is not None
     trivial_alpha = isinstance(alpha, (int, float)) and alpha == 1
     # trace-time beta specialization (reference: beta in {0,1} kernels);
@@ -464,6 +491,11 @@ def _syrk(a, *, num_moduli, fastmode, backend, trans, epilogue):
             jnp.max(c_est, axis=1), pre, num_moduli, backend)
     pa = quantize.encode_planes(a, sft, 0, num_moduli, backend)
     pb = jnp.swapaxes(pa, pa.ndim - 2, pa.ndim - 1)
+    if backend == tables.Backend.FP8 and pa.ndim == 3:
+        # the Pallas-encoded stack is in LHS slot order; the rhs needs the
+        # cross-slot order for the square moduli (see fp8.lhs_to_rhs_stack)
+        from . import fp8
+        pb = fp8.lhs_to_rhs_stack(pb, num_moduli)
     out = _emulated_product(pa, sft, pb, sft, num_moduli, backend,
                             out_dtype, epilogue)
     if out.shape != (mdim, mdim):
@@ -725,8 +757,10 @@ def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
 
     q = jax.jit(functools.partial(_quantize_operands, num_moduli=num_moduli,
                                   fastmode=fastmode, backend=backend))
+    k_eff = a.shape[1]
     if backend == tables.Backend.FP8:
         from . import fp8
+        chunked = k_eff > fp8.K_CHUNK_FP8
 
         @jax.jit
         def mm(pa, pb):
@@ -735,14 +769,28 @@ def gemm_with_phases(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
             # slot gather (mirrors residue_gemm_fp8's passthrough)
             sa = pa if pa.ndim == 3 else fp8._gemm_stack(pa, num_moduli, "lhs")
             sb = pb if pb.ndim == 3 else fp8._gemm_stack(pb, num_moduli, "rhs")
+            if chunked:   # beyond the exact-dot K bound: residue-space acc
+                return fp8._chunked_residue_acc(sa, sb, num_moduli)
             return fp8._batched_dot(sa, sb)
 
         @jax.jit
         def mr(c3):
+            if chunked:   # final wrap of the accumulated residues
+                mods = tables.moduli(backend)[:num_moduli]
+                r = jnp.stack([c3[i] % p for i, p in enumerate(mods)])
+                pcol = jnp.asarray(mods, jnp.int32).reshape(-1, 1, 1)
+                return jnp.where(2 * r >= pcol, r - pcol, r).astype(jnp.int16)
             return fp8._reassemble(c3.astype(jnp.int32),
                                    num_moduli).astype(jnp.int16)
     else:
-        mm = jax.jit(residue_matmul)
+        chunked = k_eff > K_CHUNK
+        # raw residue_matmul is int32-exact only to K_CHUNK; the chunked
+        # accumulator keeps the returned C correct for any k (the matmul
+        # phase then includes the per-chunk [0,p) wraps, like production)
+        mm = jax.jit(functools.partial(_chunked_residue_acc,
+                                       num_moduli=num_moduli,
+                                       backend=backend)) if chunked \
+            else jax.jit(residue_matmul)
         mr = jax.jit(functools.partial(mod_reduce, num_moduli=num_moduli,
                                        backend=backend))
 

@@ -99,6 +99,23 @@ def _gemm_stack(planes: jax.Array, num_moduli: int, side: str) -> jax.Array:
     return jnp.stack(rows)
 
 
+def lhs_to_rhs_stack(stack3: jax.Array, num_moduli: int) -> jax.Array:
+    """Reorder a (3nu, r, c) LHS-slot-order stack into RHS slot order.
+
+    The square-moduli products pair cross slots (ax*by, ay*bx, ay*by), so
+    an lhs stack -- group rows (x, y, y) -- reused as the rhs (e.g. syrk's
+    transpose view) must permute each group to (y, x, y) = rows (1, 0, 2);
+    Karatsuba groups are symmetric (x, y, z) on both sides. Using the raw
+    transposed lhs stack as rhs would compute ax*bx + ay*by residues --
+    silently wrong for every square modulus."""
+    nk = min(num_moduli, tables.NOT_KARATSUBA)
+    idx = []
+    for i in range(num_moduli):
+        idx += ([3 * i + 1, 3 * i, 3 * i + 2] if i < nk
+                else [3 * i, 3 * i + 1, 3 * i + 2])
+    return stack3[np.asarray(idx)]
+
+
 def _batched_dot(a3: jax.Array, b3: jax.Array) -> jax.Array:
     """(3nu, m, k) bf16 @ (3nu, k, n) bf16 -> (3nu, m, n) f32: the FP8-analog
     MXU path (reference: matmult.hpp gemm_low_prec_f8x*). Accumulation is

@@ -36,14 +36,11 @@ def _pow2_f32(e):
         ((e.astype(jnp.int32) + 127) << 23), jnp.float32)
 
 
-def _encode_kernel(sft_ref, c0_ref, c1_ref, out_ref, *, num_moduli, n_limbs,
-                   weights):
-    """One (BM, BK) tile: scale -> decompose -> limbs -> residue planes.
-
-    sft_ref: (BM, 1) [scale_axis=0] or (1, BK) [scale_axis=1] int32
-    c0/c1:   (BM, BK) f32 exact components of the input
-    out_ref: (num_moduli, BM, BK) int8
-    weights: static tuple of per-modulus tuples (w_0 .. w_{n_limbs-1}, p)
+def _limbs_from_components(sft_ref, c0_ref, c1_ref, n_limbs):
+    """Shared encoder preamble: scale the exact f32 components by 2^sft and
+    accumulate them into balanced 20-bit limbs (the INT8 and FP8 encode
+    kernels differ only in the residue emission that follows -- this is ONE
+    code path so a decomposition fix can never apply to only one backend).
 
     NB: every scalar is wrapped in np.int32/np.float32 -- under x64, python
     int literals are weak int64, which Mosaic cannot convert (it recurses);
@@ -99,6 +96,20 @@ def _encode_kernel(sft_ref, c0_ref, c1_ref, out_ref, *, num_moduli, n_limbs,
         cr = jnp.right_shift(limbs[lv] + half, i32(20))
         limbs[lv] = limbs[lv] - jnp.left_shift(cr, i32(20))
         limbs[lv + 1] = limbs[lv + 1] + cr
+    return limbs
+
+
+def _encode_kernel(sft_ref, c0_ref, c1_ref, out_ref, *, num_moduli, n_limbs,
+                   weights):
+    """One (BM, BK) tile: scale -> decompose -> limbs -> residue planes.
+
+    sft_ref: (BM, 1) [scale_axis=0] or (1, BK) [scale_axis=1] int32
+    c0/c1:   (BM, BK) f32 exact components of the input
+    out_ref: (num_moduli, BM, BK) int8
+    weights: static tuple of per-modulus tuples (w_0 .. w_{n_limbs-1}, p)
+    """
+    i32 = np.int32
+    limbs = _limbs_from_components(sft_ref, c0_ref, c1_ref, n_limbs)
 
     for i in range(num_moduli):
         ws = weights[i]
@@ -519,33 +530,43 @@ def fused_epilogue_fp8(c3, sft_a, sft_b, num_moduli: int, out_bits: int):
     )(sft_a.reshape(m, 1), sft_b.reshape(1, n), c3)
 
 
+def _lane_recombine_3m(chi_ref, i, *, num_moduli, mods, w2_16, shift):
+    """Per-modulus 3M lane wrap + residue-space recombine shared by the
+    single-kernel and split complex epilogues (their bit-identity contract
+    REQUIRES one code path): Re = Crr - Cii, Im = Crii - Crr - Cii, mod p
+    (reference: conv_hi2mid_complex.hpp:9-40). Wrapped lanes sit in
+    [-p/2, p/2), so re is in (-p, p) and im in (-3p/2, 3p/2): ONE
+    correction each way suffices for both (a value >= p/2 drops below
+    p/2 after a single subtract because it started below 3p/2)."""
+    i32 = np.int32
+    p = i32(mods[i])
+    inv = 1.0 / mods[i]
+    crr = _wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], inv, shift)
+    cii = _wrap_full(chi_ref[num_moduli + i, :, :], mods[i], w2_16[i],
+                     inv, shift)
+    cri = _wrap_full(chi_ref[2 * num_moduli + i, :, :], mods[i],
+                     w2_16[i], inv, shift)
+    re = crr - cii                                    # in (-p, p)
+    re = jnp.where(i32(2) * re >= p, re - p, re)
+    re = jnp.where(i32(2) * re < -p, re + p, re)
+    im = cri - crr - cii                              # in (-3p/2, 3p/2)
+    im = jnp.where(i32(2) * im >= p, im - p, im)
+    im = jnp.where(i32(2) * im < -p, im + p, im)
+    return re, im
+
+
 def _epilogue_kernel_cplx(sfta_ref, sftb_ref, chi_ref, hire_ref, lore_ref,
                           hiim_ref, loim_ref, *, num_moduli, mods, w2_16,
                           w16, p16, L, invp_top, base, descale, shift=16):
     """Complex 3M variant: chi is the (3*nu, BM, BN) stack of lane products
     (Crr planes, then Cii, then Crii). Per modulus, wrap the three lane
-    sums, recombine in residue space (Re = Crr - Cii, Im = Crii - Crr - Cii,
-    all mod p -- reference: conv_hi2mid_complex.hpp:9-40), then run TWO CRT
+    sums, recombine in residue space (_lane_recombine_3m), then run TWO CRT
     limb pipelines sharing the shift factors."""
-    i32 = np.int32
     rs_re = []
     rs_im = []
     for i in range(num_moduli):
-        p = i32(mods[i])
-        inv = 1.0 / mods[i]
-        crr = _wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], inv, shift)
-        cii = _wrap_full(chi_ref[num_moduli + i, :, :], mods[i], w2_16[i],
-                         inv, shift)
-        cri = _wrap_full(chi_ref[2 * num_moduli + i, :, :], mods[i],
-                         w2_16[i], inv, shift)
-        re = crr - cii                                    # in (-p, p)
-        re = jnp.where(i32(2) * re >= p, re - p, re)
-        re = jnp.where(i32(2) * re < -p, re + p, re)
-        im = cri - crr - cii                              # in (-3p/2, 3p/2)
-        im = jnp.where(i32(2) * im >= p, im - p, im)
-        im = jnp.where(i32(2) * im >= p, im - p, im)
-        im = jnp.where(i32(2) * im < -p, im + p, im)
-        im = jnp.where(i32(2) * im < -p, im + p, im)
+        re, im = _lane_recombine_3m(chi_ref, i, num_moduli=num_moduli,
+                                    mods=mods, w2_16=w2_16, shift=shift)
         rs_re.append(re)
         rs_im.append(im)
     factors = _descale_factors(sfta_ref[:], sftb_ref[:])
@@ -613,23 +634,9 @@ def _recombine_kernel_cplx(chi_ref, re_ref, im_ref, *, num_moduli, mods,
     same as _epilogue_kernel_cplx's, so feeding these planes through the
     REAL fused_epilogue (whose wrap is value-identity on wrapped inputs)
     reproduces the single-kernel complex epilogue bit-for-bit."""
-    i32 = np.int32
     for i in range(num_moduli):
-        p = i32(mods[i])
-        inv = 1.0 / mods[i]
-        crr = _wrap_full(chi_ref[i, :, :], mods[i], w2_16[i], inv, shift)
-        cii = _wrap_full(chi_ref[num_moduli + i, :, :], mods[i], w2_16[i],
-                         inv, shift)
-        cri = _wrap_full(chi_ref[2 * num_moduli + i, :, :], mods[i],
-                         w2_16[i], inv, shift)
-        re = crr - cii                                    # in (-p, p)
-        re = jnp.where(i32(2) * re >= p, re - p, re)
-        re = jnp.where(i32(2) * re < -p, re + p, re)
-        im = cri - crr - cii                              # in (-3p/2, 3p/2)
-        im = jnp.where(i32(2) * im >= p, im - p, im)
-        im = jnp.where(i32(2) * im >= p, im - p, im)
-        im = jnp.where(i32(2) * im < -p, im + p, im)
-        im = jnp.where(i32(2) * im < -p, im + p, im)
+        re, im = _lane_recombine_3m(chi_ref, i, num_moduli=num_moduli,
+                                    mods=mods, w2_16=w2_16, shift=shift)
         re_ref[i, :, :] = re.astype(jnp.int8)
         im_ref[i, :, :] = im.astype(jnp.int8)
 
@@ -691,51 +698,7 @@ def _encode_kernel_fp8(sft_ref, c0_ref, c1_ref, out_ref, *, num_moduli,
     stacking pass, no canonical-plane materialization."""
     i32 = np.int32
     f32 = np.float32
-    sft = sft_ref[:]
-    h1 = jnp.right_shift(sft * i32(21846), i32(16))
-    rm = sft - h1
-    h2 = jnp.right_shift(rm, i32(1))
-    h3 = rm - h2
-    f = (_pow2_f32(h1), _pow2_f32(h2), _pow2_f32(h3))
-
-    comps = [c0_ref[:]] + ([c1_ref[:]] if c1_ref is not None else [])
-    limbs = [jnp.zeros(comps[0].shape, jnp.int32) for _ in range(n_limbs)]
-    g_frac = jnp.zeros(comps[0].shape, jnp.float32)
-    for c in comps:
-        y = ((c * f[0]) * f[1]) * f[2]
-        bits = jax.lax.bitcast_convert_type(y, jnp.int32)
-        sign = jnp.where(bits < i32(0), i32(-1), i32(1))
-        expf = jnp.right_shift(bits, i32(23)) & i32(0xFF)
-        frac = bits & i32(0x7FFFFF)
-        is_norm = expf > i32(0)
-        mant = jnp.where(is_norm, frac | i32(1 << 23), frac)
-        e = jnp.where(is_norm, expf - i32(127), i32(-126))
-        d = e - i32(23)
-        sig = jnp.clip(-d, i32(0), i32(31))
-        m_int = jnp.right_shift(mant, sig)
-        dpos = jnp.maximum(d, i32(0))
-        mfrac = mant - jnp.left_shift(m_int, sig)
-        fr = mfrac.astype(jnp.float32) * _pow2_f32(jnp.maximum(d, i32(-30)))
-        fr = jnp.where(-d > i32(30), jnp.abs(y), fr)
-        g_frac = g_frac + sign.astype(jnp.float32) * fr
-        li = jnp.right_shift(dpos * i32(3277), i32(16))
-        off = dpos - li * i32(20)
-        sh = i32(20) - off
-        mhi = jnp.right_shift(m_int, sh)
-        mlo = m_int - jnp.left_shift(mhi, sh)
-        c_lo = sign * jnp.left_shift(mlo, off)
-        c_hi = sign * mhi
-        for lv in range(n_limbs):
-            limbs[lv] = (limbs[lv]
-                         + jnp.where(li == i32(lv), c_lo, i32(0))
-                         + jnp.where(li == i32(lv - 1), c_hi, i32(0)))
-    limbs[0] = limbs[0] + jnp.floor(g_frac).astype(jnp.int32)
-
-    half = i32(1 << 19)
-    for lv in range(n_limbs - 1):
-        cr = jnp.right_shift(limbs[lv] + half, i32(20))
-        limbs[lv] = limbs[lv] - jnp.left_shift(cr, i32(20))
-        limbs[lv + 1] = limbs[lv + 1] + cr
+    limbs = _limbs_from_components(sft_ref, c0_ref, c1_ref, n_limbs)
 
     nk = len(sqrts)
     for i in range(num_moduli):

@@ -239,13 +239,36 @@ def estimate_gemm(ub_a: jax.Array, ub_b: jax.Array, backend: str) -> jax.Array:
     (reference: scaling_accu_real.hpp:415-432). INT8: exact int32 path. FP8:
     f32 accumulation whose round-off is compensated by inflating the result by
     (k+1)*2^-24, keeping it a true upper bound (reference: find_max.hpp:82-96)."""
+    dn = (((1,), (0,)), ((), ()))
     if backend == tables.Backend.INT8:
-        return jax.lax.dot_general(
-            ub_a, ub_b, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
+        k = ub_a.shape[1]
+        # int32 dot is exact only while k * max(ub)^2 = 1089k < 2^31; the
+        # "K is unlimited" contract means huge k must chunk: int32-exact
+        # partial dots summed EXACTLY in float (every partial is an integer
+        # <= 1089 * 2^20 and the running sum stays far below 2^48, exact
+        # even in TPU's f32-pair f64) -- bit-stable across platforms
+        k_safe = (2 ** 31 - 1) // 1089
+        if k <= k_safe:
+            return jax.lax.dot_general(ub_a, ub_b, dimension_numbers=dn,
+                                       preferred_element_type=jnp.int32)
+        step = 1 << 20
+        acc_t = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        tot = jnp.zeros((ub_a.shape[0], ub_b.shape[1]), acc_t)
+        n_chunks = -(-k // step)
+        for ci in range(n_chunks):
+            sl = slice(ci * step, min((ci + 1) * step, k))
+            part = jax.lax.dot_general(ub_a[:, sl], ub_b[sl],
+                                       dimension_numbers=dn,
+                                       preferred_element_type=jnp.int32)
+            tot = tot + part.astype(acc_t)
+        if acc_t == jnp.float32:
+            # f32 additions round; inflate so the estimate stays an upper
+            # bound (mirrors the FP8 compensation below)
+            tot = tot * np.float32(1.0 + (n_chunks + 1) * 2.0 ** -23)
+        return tot
     k = ub_a.shape[1]
     c = jax.lax.dot_general(
-        ub_a, ub_b, dimension_numbers=(((1,), (0,)), ((), ())),
+        ub_a, ub_b, dimension_numbers=dn,
         preferred_element_type=jnp.float32)
     return c * np.float32(1.0 + (k + 1) * 2.0 ** -24)
 

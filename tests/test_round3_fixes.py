@@ -203,3 +203,75 @@ def test_gemm_batched_dtype_mismatch_raises():
     b = jnp.zeros((2, 4, 4), jnp.float64)
     with pytest.raises(TypeError, match="dtype mismatch"):
         core.gemm_batched(a, b, num_moduli=8)
+
+
+# ---------------------------------------------------------------------------
+# round-3 code-review fixes (core/complex/fp8/quantize)
+# ---------------------------------------------------------------------------
+
+def test_fp8_lhs_to_rhs_stack_matches_canonical_rhs():
+    """syrk FP8 fix: a transposed LHS-slot-order stack must be slot-permuted
+    before use as the rhs -- the square moduli pair CROSS slots (ax*by,
+    ay*bx); the raw transpose pairs ax*bx/ay*by, silently wrong."""
+    from gemmul8_tpu import fp8, tables
+    nu = 10
+    rng = np.random.default_rng(50)
+    mods = tables.moduli(tables.Backend.FP8)[:nu]
+    res = np.stack([rng.integers(-(p // 2), (p - 1) // 2 + 1, (32, 48))
+                    for p in mods]).astype(np.int32)
+    pa = fp8.split_planes(jnp.asarray(res), nu)            # (nu, 3, 32, 48)
+    stack_lhs = fp8._gemm_stack(pa, nu, "lhs")             # (3nu, 32, 48)
+    got = fp8.lhs_to_rhs_stack(jnp.swapaxes(stack_lhs, 1, 2), nu)
+    want = fp8._gemm_stack(jnp.swapaxes(pa, 2, 3), nu, "rhs")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # and the raw transposed lhs stack is NOT rhs-valid (the bug existed)
+    assert not np.array_equal(np.asarray(jnp.swapaxes(stack_lhs, 1, 2)),
+                              np.asarray(want))
+
+
+def test_trans_flags_numpy_bool_and_bad_string():
+    rng = np.random.default_rng(51)
+    a = jnp.asarray(rng.standard_normal((24, 24)))
+    b = jnp.asarray(rng.standard_normal((24, 24)))
+    want = np.asarray(g8.gemm(a, b, trans_a=True, num_moduli=10))
+    got = np.asarray(g8.gemm(a, b, trans_a=np.bool_(True), num_moduli=10))
+    np.testing.assert_array_equal(got, want)  # np.bool_ used to mean "N"!
+    with pytest.raises(ValueError):
+        g8.gemm(a, b, trans_a="X", num_moduli=10)
+
+
+def test_epilogue_and_backend_typos_raise():
+    rng = np.random.default_rng(52)
+    a = jnp.asarray(rng.standard_normal((8, 8)))
+    with pytest.raises(ValueError):
+        g8.gemm(a, a, epilogue="FF")   # typo used to silently pick f64
+    with pytest.raises(ValueError):
+        g8.gemm(a.astype(jnp.complex128), a.astype(jnp.complex128),
+                backend="INT4")        # used to AttributeError in tables
+    with pytest.raises(ValueError):
+        complex_gemm.gemm_planar(a, a, a, a, backend="int8")
+
+
+def test_estimate_gemm_huge_k_no_int32_overflow():
+    """Accurate-mode estimation beyond k ~ 1.97e6: the int32 dot would wrap
+    negative; the chunked float accumulation stays exact (integer partials
+    below 2^48)."""
+    from gemmul8_tpu import quantize, tables
+    k = ((2 ** 31 - 1) // 1089) + 1017   # just past the exact-int32 bound
+    ub_a = jnp.full((2, k), 33, jnp.int8)
+    ub_b = jnp.full((k, 2), 33, jnp.int8)
+    c = np.asarray(quantize.estimate_gemm(ub_a, ub_b, tables.Backend.INT8))
+    assert float(c[0, 0]) == float(33 * 33 * k)  # exact, and > 2^31
+
+
+def test_gemm_with_phases_chunks_big_k():
+    """gemm_with_phases used to run the raw dot past the int32-exact K bound
+    and return garbage; it must now match gemm() (which chunks)."""
+    rng = np.random.default_rng(53)
+    k = core.K_CHUNK + 256
+    a = jnp.asarray(rng.standard_normal((16, k)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((k, 16)), jnp.float32)
+    out, times = core.gemm_with_phases(a, b, num_moduli=8)
+    want = np.asarray(g8.gemm(a, b, num_moduli=8))
+    np.testing.assert_array_equal(np.asarray(out), want)
+    assert set(times) == {"quantize", "matmul", "mod_reduce", "crt_inverse"}
