@@ -64,7 +64,10 @@ FLOOR_AMPLIFICATION_BITS = 6.0
 
 
 def log2_P(num_moduli: int, backend: str = tables.Backend.INT8) -> float:
-    """log2 of the product of the first ``num_moduli`` moduli."""
+    """log2 of the product of the first ``num_moduli`` moduli.
+
+    NOT the same quantity as tables.log2P, which is the reference's shift
+    constant log2(P-1)/2 - 0.5 (halved and offset, f32-rounded-down)."""
     mods = tables.moduli(backend)
     if not 1 <= num_moduli <= len(mods):
         raise ValueError(f"num_moduli must be in [1, {len(mods)}]")

@@ -35,13 +35,35 @@ cross-check; two_sum / two_prod_const serve tests and future kernels.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
+import sys
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import tables
+
+
+@contextlib.contextmanager
+def _no_hook():
+    """Exactness-critical region: the CRT column product below is an
+    ELIGIBLE f32 dot_general, so with the hook installed it would be
+    re-routed through the emulator -- whose quantization error breaks the
+    exact-integer-columns invariant (silently wrong results, e.g. in a
+    hooked matmul's custom-VJP backward, which traces outside the hook's
+    own re-entrancy guard). Bump the hook's depth while tracing it."""
+    h = sys.modules.get("gemmul8_tpu.hook")
+    if h is None:
+        yield
+        return
+    st = h._st()
+    st.depth += 1
+    try:
+        yield
+    finally:
+        st.depth -= 1
 
 _SPLIT = np.float32((1 << 12) + 1)
 LIMB_BITS = 20
@@ -154,9 +176,10 @@ def crt_limbs_matrix(c_mid: jax.Array, num_moduli: int, backend: str,
     base, n_cols, C, pcols, invp_top = _crt_matrix_plan(
         num_moduli, backend, out_bits)
     res_f = c_mid.astype(jnp.float32)            # (nu, m, n), |r| <= p/2
-    cols = jax.lax.dot_general(
-        res_f, jnp.asarray(C), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)      # (m, n, n_cols) exact ints
+    with _no_hook():
+        cols = jax.lax.dot_general(
+            res_f, jnp.asarray(C), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (m, n, n_cols) exact ints
 
     # merge 8-bit column pairs into 16-bit limbs (int32)
     L = (n_cols + 1) // 2
@@ -347,12 +370,25 @@ def descale_accel(limbs, base, lb, sft_a, sft_b, out_bits, out_dtype):
     # smallest-first through a compensated two_sum chain, costing ONE
     # emulated-f64 add at the very end. (Split out so the fused Pallas
     # epilogue's bit-identity can be tested against it on CPU.)
-    ha = (-sft_a) // 2
-    fa1 = pow2_f32(ha)[:, None]
-    fa2 = pow2_f32(-sft_a - ha)[:, None]
-    hb = (-sft_b) // 2
-    fb1 = pow2_f32(hb)[None, :]
-    fb2 = pow2_f32(-sft_b - hb)[None, :]
+    # three-way split: each factor's exponent stays f32-normal for |sft| up
+    # to ~378 (a half-split caps at 252, exceeded by high-nu shifts on
+    # tiny-magnitude rows); op-for-op identical to the fused kernel's
+    # pallas_kernels._descale_factors (bit-identity contract)
+    i32 = np.int32
+    ta = -sft_a
+    ha1 = jnp.right_shift(ta * i32(21846), i32(16))        # ~ta/3
+    ra = ta - ha1
+    ha2 = jnp.right_shift(ra, i32(1))
+    fa1 = pow2_f32(ha1)[:, None]
+    fa2 = pow2_f32(ha2)[:, None]
+    fa3 = pow2_f32(ra - ha2)[:, None]
+    tb = -sft_b
+    hb1 = jnp.right_shift(tb * i32(21846), i32(16))
+    rb = tb - hb1
+    hb2 = jnp.right_shift(rb, i32(1))
+    fb1 = pow2_f32(hb1)[None, :]
+    fb2 = pow2_f32(hb2)[None, :]
+    fb3 = pow2_f32(rb - hb2)[None, :]
     hi = None
     lo = None
     for li in range(len(limbs)):          # smallest-first
@@ -362,6 +398,7 @@ def descale_accel(limbs, base, lb, sft_a, sft_b, out_bits, out_dtype):
         term = limbs[li].astype(jnp.float32) * s1
         term = ((term * fa1) * fb1) * s2
         term = (term * fa2) * fb2
+        term = (term * fa3) * fb3
         if hi is None:
             hi = term
             lo = jnp.zeros_like(term)

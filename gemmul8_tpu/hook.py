@@ -45,8 +45,14 @@ _state = threading.local()
 def _st():
     if not hasattr(_state, "depth"):
         _state.depth = 0
-        _state.overrides = None
     return _state
+
+
+# install()'s explicit config is a PROCESS-global override (the docstring's
+# "global override for all eligible dtypes"): matmuls traced on worker
+# threads must see it too, so it cannot live in the thread-local state
+# (only the re-entrancy depth is per-thread).
+_overrides: Optional[config.GemmConfig] = None
 
 
 def _primitive():
@@ -62,15 +68,27 @@ _installed = False
 def _emulated_2d(cfg: config.GemmConfig, is_complex: bool):
     """Differentiable emulated 2D matmul for a fixed config (cached)."""
     if is_complex:
-        def base(a, b):
+        def _inner(a, b):
             return complex_gemm.emulate_matmul_complex(
                 a, b, num_moduli=cfg.num_moduli, fastmode=cfg.fastmode,
                 backend=cfg.backend, epilogue=cfg.epilogue)
     else:
-        def base(a, b):
+        def _inner(a, b):
             return core.emulate_matmul(
                 a, b, num_moduli=cfg.num_moduli, fastmode=cfg.fastmode,
                 backend=cfg.backend, epilogue=cfg.epilogue)
+
+    def base(a, b):
+        # re-entrancy guard around EVERY trace of the emulator body, not
+        # just _hook_bind's: the custom-VJP bwd below is traced during the
+        # backward pass, OUTSIDE the bind-time guard -- without this the
+        # emulator's own internal eligible dots would be re-intercepted
+        st = _st()
+        st.depth += 1
+        try:
+            return _inner(a, b)
+        finally:
+            st.depth -= 1
 
     @jax.custom_vjp
     def f(a, b):
@@ -175,7 +193,9 @@ def _emulated_dot_general(lhs, rhs, dimension_numbers, cfg: config.GemmConfig):
     eager = not isinstance(lhs, jax.core.Tracer)         and not isinstance(rhs, jax.core.Tracer)
     cache_a, cache_b = _cache_enabled("A"), _cache_enabled("B")
     if (eager and cfg.fastmode is True and not is_cplx and lhs3.shape[0] == 1
-            and (cache_a or cache_b)):
+            and lhs3.shape[2] > 0 and (cache_a or cache_b)):
+        # k == 0 skips the cache path: precompute's norm reductions have no
+        # identity over an empty axis; the emulator (and native) return zeros
         (lc, rc), (lb, rb) = dimension_numbers
         canon_l = (tuple(lc), tuple(lb))
         canon_r = (tuple(rc), tuple(rb))
@@ -211,7 +231,7 @@ def _hook_bind(lhs, rhs, *rest, **params):
         and (pet is None or np.dtype(pet).name == dt)
     )
     if eligible:
-        cfg = st.overrides if st.overrides is not None else config.env_config(dt)
+        cfg = _overrides if _overrides is not None else config.env_config(dt)
         if cfg is not None and cfg.validate(dt):
             st.depth += 1
             try:
@@ -265,7 +285,7 @@ def _eager_matmul_wrapper(orig):
             if (st.depth == 0 and dt == np.dtype(b.dtype).name
                     and dt in ("float32", "float64")
                     and (_cache_enabled("A") or _cache_enabled("B"))):
-                cfg = st.overrides if st.overrides is not None \
+                cfg = _overrides if _overrides is not None \
                     else config.env_config(dt)
                 if cfg is not None and cfg.fastmode is True and cfg.validate(dt):
                     st.depth += 1
@@ -375,15 +395,14 @@ def install(num_moduli: Optional[int] = None, fastmode: Optional[bool] = None,
     While installed, GEMMUL8_* changes via os.environ take effect on the next
     call automatically (the env-watch clears jit caches), matching the
     reference's re-read-per-call contract (hook.cu:283-310)."""
-    global _orig_bind, _installed
-    st = _st()
+    global _orig_bind, _installed, _overrides
     if num_moduli is not None:
-        st.overrides = config.GemmConfig(
+        _overrides = config.GemmConfig(
             num_moduli=num_moduli,
             fastmode=True if fastmode is None else fastmode,
             backend=(backend or "INT8").upper())
     else:
-        st.overrides = None
+        _overrides = None
     if not _installed:
         prim = _primitive()
         _orig_bind = prim.bind
@@ -396,14 +415,14 @@ def install(num_moduli: Optional[int] = None, fastmode: Optional[bool] = None,
 
 
 def uninstall() -> None:
-    global _installed
+    global _installed, _overrides
     if _installed:
         _primitive().bind = _orig_bind
         _installed = False
         _unpatch_environ()
         _unpatch_functions()
         jax.clear_caches()  # drop traces that baked in the emulation
-    _st().overrides = None
+    _overrides = None
 
 
 def refresh() -> None:
@@ -418,14 +437,15 @@ def emulate(num_moduli: Optional[int] = None, fastmode: bool = True,
             backend: str = "INT8"):
     """Context manager: route eligible matmuls through the emulator inside the
     block. `with gemmul8_tpu.emulate(num_moduli=8): y = model(x)`"""
+    global _overrides
     was_installed = _installed
-    prev_overrides = _st().overrides
+    prev_overrides = _overrides
     install(num_moduli=num_moduli, fastmode=fastmode, backend=backend)
     try:
         yield
     finally:
         if was_installed:
-            _st().overrides = prev_overrides
+            _overrides = prev_overrides
             jax.clear_caches()
         else:
             uninstall()

@@ -290,20 +290,29 @@ def _crt_limbs_from_res(rs, w16, p16, L, invp_top, num_moduli):
 
 
 def _descale_factors(sfta, sftb):
-    """Rank-1 power-of-two factor pairs from the shift tiles (each split in
-    half to stay inside f32's exponent range)."""
+    """Rank-1 power-of-two factor triples from the shift tiles: split in
+    THREE so every factor's exponent stays in f32's normal range for
+    |sft| up to ~378 (a half-split caps at 252, which high-nu shifts on
+    tiny-magnitude rows exceed -- the assembled exponent field would
+    overflow into the sign bit and emit garbage, not zero). Must stay
+    op-for-op identical to ff.descale_accel's split (bit-identity)."""
     i32 = np.int32
-    ha = jnp.right_shift(-sfta, i32(1))                    # floor((-s)/2)
-    hb = jnp.right_shift(-sftb, i32(1))
-    return (_pow2_f32(ha), _pow2_f32(-sfta - ha),
-            _pow2_f32(hb), _pow2_f32(-sftb - hb))
+    outs = []
+    for s in (sfta, sftb):
+        t = -s
+        h1 = jnp.right_shift(t * i32(21846), i32(16))      # ~t/3
+        rm = t - h1
+        h2 = jnp.right_shift(rm, i32(1))
+        h3 = rm - h2
+        outs += [_pow2_f32(h1), _pow2_f32(h2), _pow2_f32(h3)]
+    return tuple(outs)
 
 
 def _descale_emit(limbs, factors, descale, L):
     """Compensated smallest-first limb merge -- op-for-op the same order as
     ff.reconstruct_scale_ff's accelerator path. Returns (hi, lo) f32."""
     f32 = np.float32
-    fa1, fa2, fb1, fb2 = factors
+    fa1, fa2, fa3, fb1, fb2, fb3 = factors
     hi = None
     lo = None
     for li in range(L):
@@ -311,6 +320,7 @@ def _descale_emit(limbs, factors, descale, L):
         term = limbs[li].astype(jnp.float32) * f32(s1)
         term = ((term * fa1) * fb1) * f32(s2)
         term = (term * fa2) * fb2
+        term = (term * fa3) * fb3
         if hi is None:
             hi = term
             lo = jnp.zeros_like(term)

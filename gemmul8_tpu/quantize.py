@@ -217,14 +217,15 @@ def extract_ub_with_pre(ax: jax.Array, sft_pre: jax.Array, reduce_axis: int,
 
 
 def extract_ub_plane(x: jax.Array, backend: str, scale_axis: int):
-    """ceil(|x| * 2^(maxUFP - ilogb(amax))) as int8 (values in [0, 2^maxUFP+1]),
-    plus the pre-shift. Upper bound of the reference's round-up extraction
-    (scaling_accu_real.hpp:46-74); the +tail term keeps it a true upper bound
-    without bit-exact f64 ceil.
+    """ceil(|x| * 2^(maxUFP - ilogb(amax))) plus the pre-shift. Upper bound
+    of the reference's round-up extraction (scaling_accu_real.hpp:46-74);
+    the +tail term keeps it a true upper bound without bit-exact f64 ceil.
 
-    INT8: values <= 2^5+1 fit int8 (exact int32 estimation GEMM). FP8: values
-    <= 2^7+1 exceed int8; carried in bf16 and estimated via an f32-
-    accumulating GEMM, like the reference's fp8 extract (template_type.hpp:30-55).
+    amax scales into [2^maxUFP, 2^(maxUFP+1)), so values reach
+    2^(maxUFP+1) + 1. INT8: <= 65, fits int8 (exact int32 estimation GEMM,
+    chunked past 4225k >= 2^31). FP8: <= 257, carried in bf16 and estimated
+    via an f32-accumulating GEMM, like the reference's fp8 extract
+    (template_type.hpp:30-55).
     """
     reduce_axis = 1 - scale_axis
     ax = jnp.abs(x)
@@ -242,16 +243,18 @@ def estimate_gemm(ub_a: jax.Array, ub_b: jax.Array, backend: str) -> jax.Array:
     dn = (((1,), (0,)), ((), ()))
     if backend == tables.Backend.INT8:
         k = ub_a.shape[1]
-        # int32 dot is exact only while k * max(ub)^2 = 1089k < 2^31; the
-        # "K is unlimited" contract means huge k must chunk: int32-exact
+        # extract values reach 2^(maxUFP+1) + 1 = 65 (amax scales into
+        # [2^5, 2^6), then ceil + tail bump -- test_quantize.py pins this),
+        # so the int32 dot is exact only while 65^2 * k = 4225k < 2^31; the
+        # "K is unlimited" contract means larger k must chunk: int32-exact
         # partial dots summed EXACTLY in float (every partial is an integer
-        # <= 1089 * 2^20 and the running sum stays far below 2^48, exact
+        # <= 4225 * 2^18 and the running sum stays far below 2^48, exact
         # even in TPU's f32-pair f64) -- bit-stable across platforms
-        k_safe = (2 ** 31 - 1) // 1089
+        k_safe = (2 ** 31 - 1) // (65 * 65)
         if k <= k_safe:
             return jax.lax.dot_general(ub_a, ub_b, dimension_numbers=dn,
                                        preferred_element_type=jnp.int32)
-        step = 1 << 20
+        step = 1 << 18
         acc_t = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         tot = jnp.zeros((ub_a.shape[0], ub_b.shape[1]), acc_t)
         n_chunks = -(-k // step)
@@ -311,7 +314,6 @@ def residues_wrapped(x: jax.Array, sft: jax.Array, scale_axis: int,
       docstring).
     """
     mods = tables.moduli(backend)[:num_moduli]
-    p2m = tables.mod_pow2(backend)  # (20, MAX_EXP+1) int32 numpy
     reduce_axis = 1 - scale_axis
     y = pow2_scale(x, jnp.expand_dims(sft, reduce_axis))
     comps = f32_components(y, _n_comp(x.dtype))

@@ -275,3 +275,81 @@ def test_gemm_with_phases_chunks_big_k():
     want = np.asarray(g8.gemm(a, b, num_moduli=8))
     np.testing.assert_array_equal(np.asarray(out), want)
     assert set(times) == {"quantize", "matmul", "mod_reduce", "crt_inverse"}
+
+
+def test_hook_bwd_does_not_reintercept_internal_dots(monkeypatch):
+    """The custom-VJP backward traces OUTSIDE _hook_bind's depth guard; the
+    emulator's internal exactness-critical f32 CRT dot must not be re-routed
+    through the emulator there (it would silently corrupt gradients)."""
+    monkeypatch.setenv("GEMMUL8_NUM_MOD_S", "8")
+    monkeypatch.setenv("GEMMUL8_EPILOGUE", "ff")   # the eligible-f32-dot path
+    rng = np.random.default_rng(60)
+    b = jnp.asarray(rng.standard_normal((32, 32)), jnp.float32)
+    a = jnp.asarray(rng.standard_normal((32, 32)), jnp.float32)
+    import gemmul8_tpu as g8mod
+    g8mod.install()
+    try:
+        grad_a = np.asarray(jax.grad(lambda x: jnp.sum(x @ b))(a))
+    finally:
+        g8mod.uninstall()
+    want = np.asarray(core.emulate_matmul(
+        jnp.ones((32, 32), jnp.float32), b.T, num_moduli=8, fastmode=True,
+        epilogue="ff"))
+    np.testing.assert_array_equal(grad_a, want)
+
+
+def test_install_override_applies_across_threads():
+    """install(num_moduli=...) is documented as a GLOBAL override; a matmul
+    traced on a worker thread must be emulated too (it used to silently run
+    native: the override lived in thread-local state)."""
+    import threading
+    rng = np.random.default_rng(61)
+    a = jnp.asarray(rng.standard_normal((24, 96)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((96, 16)), jnp.float32)
+    import gemmul8_tpu as g8mod
+    dn = (((1,), (0,)), ((), ()))
+    g8mod.install(num_moduli=9)
+    try:
+        res = {}
+        t = threading.Thread(target=lambda: res.__setitem__(
+            "c", np.asarray(jax.lax.dot_general(a, b, dn))))
+        t.start(); t.join()
+        want = np.asarray(jax.lax.dot_general(a, b, dn))
+    finally:
+        g8mod.uninstall()
+    np.testing.assert_array_equal(res["c"], want)
+    # and it really was emulated, not native
+    native = np.asarray(jax.lax.dot_general(a, b, dn))
+    assert not np.array_equal(res["c"], native)
+
+
+def test_eager_hook_k0_returns_zeros():
+    import gemmul8_tpu as g8mod
+    with g8mod.emulate(num_moduli=8):
+        z = jnp.zeros((4, 0), jnp.float32) @ jnp.zeros((0, 5), jnp.float32)
+    assert z.shape == (4, 5) and np.all(np.asarray(z) == 0)
+
+
+def test_descale_accel_large_shift_underflows_to_zero():
+    """|sft| beyond 252 used to overflow the half-split pow2_f32 exponent
+    assembly into the sign bit (garbage instead of underflow-to-zero)."""
+    from gemmul8_tpu import ff
+    limbs = [jnp.ones((2, 2), jnp.int32)]
+    sa = jnp.asarray([260, 0], jnp.int32)
+    sb = jnp.asarray([40, 0], jnp.int32)
+    out = np.asarray(ff.descale_accel(limbs, 0, 16, sa, sb, 24, jnp.float32))
+    assert out[0, 0] == 0.0            # 2^-300: underflow, NOT garbage
+    assert out[0, 1] == 0.0            # 2^-260
+    assert out[1, 0] == 2.0 ** -40
+    assert out[1, 1] == 1.0
+
+
+def test_estimate_gemm_true_ub_bound_65():
+    """The extract plane reaches 65, so int32 exactness ends at 4225k >= 2^31
+    (~508k), not the 1089k bound of max-value 33."""
+    from gemmul8_tpu import quantize, tables
+    k = ((2 ** 31 - 1) // 4225) + 991    # int32 dot would wrap negative
+    ub_a = jnp.full((2, k), 65, jnp.int8)
+    ub_b = jnp.full((k, 2), 65, jnp.int8)
+    c = np.asarray(quantize.estimate_gemm(ub_a, ub_b, tables.Backend.INT8))
+    assert float(c[0, 0]) == float(65 * 65 * k)
