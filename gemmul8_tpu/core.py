@@ -853,17 +853,20 @@ class QuantizedOperand:
 
     A pytree: flows through jit/vmap boundaries."""
 
-    def __init__(self, planes, sft, side, num_moduli, fastmode, backend):
+    def __init__(self, planes, sft, side, num_moduli, fastmode, backend,
+                 dims=None):
         self.planes = planes          # (nu, m, k) or (nu, k, n) int8
         self.sft = sft                # int32 shifts
         self.side = side              # "A" (row-scaled) or "B" (col-scaled)
         self.num_moduli = num_moduli
         self.fastmode = fastmode
         self.backend = backend
+        self.dims = dims              # original (pre-pad128) operand shape
 
     def tree_flatten(self):
         return (self.planes, self.sft), (self.side, self.num_moduli,
-                                         self.fastmode, self.backend)
+                                         self.fastmode, self.backend,
+                                         self.dims)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -877,11 +880,20 @@ jax.tree_util.register_pytree_node(
 def precompute(x: jax.Array, side: str, *, num_moduli: int = 8,
                backend: str = tables.Backend.INT8) -> QuantizedOperand:
     """Quantize one operand once (fast-mode shifts) for reuse. side="A" scales
-    rows of an (m, k) operand; side="B" scales columns of a (k, n) operand."""
+    rows of an (m, k) operand; side="B" scales columns of a (k, n) operand.
+
+    On accelerators the operand is zero-padded to multiples of 128 like
+    emulate_matmul (zero rows/cols encode to zero planes with sft=0 --
+    exactness-preserving), so gemm_quantized keeps the fused Pallas
+    encode/epilogue path; gemm_quantized slices the output back."""
+    dims = tuple(x.shape)
+    if jax.default_backend() != "cpu":
+        x = _pad128(x, (0, 1))
     scale_axis = 0 if side == "A" else 1
     sft = quantize.shift_fast(x, num_moduli, backend, reduce_axis=1 - scale_axis)
     planes = quantize.encode_planes(x, sft, scale_axis, num_moduli, backend)
-    return QuantizedOperand(planes, sft, side, num_moduli, True, backend)
+    return QuantizedOperand(planes, sft, side, num_moduli, True, backend,
+                            dims=dims)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -911,6 +923,11 @@ def gemm_quantized(qa, qb, out_dtype=jnp.float64,
         qb = precompute(qb, "B", num_moduli=ref.num_moduli, backend=ref.backend)
     assert qa.side == "A" and qb.side == "B"
     assert qa.num_moduli == qb.num_moduli and qa.backend == qb.backend
-    return _gemm_q(qa.planes, qa.sft, qb.planes, qb.sft,
-                   num_moduli=qa.num_moduli, backend=qa.backend,
-                   out_dtype=jnp.dtype(out_dtype).name, epilogue=epilogue)
+    out = _gemm_q(qa.planes, qa.sft, qb.planes, qb.sft,
+                  num_moduli=qa.num_moduli, backend=qa.backend,
+                  out_dtype=jnp.dtype(out_dtype).name, epilogue=epilogue)
+    m = qa.dims[0] if qa.dims is not None else out.shape[0]
+    n = qb.dims[1] if qb.dims is not None else out.shape[1]
+    if out.shape != (m, n):
+        out = out[:m, :n]
+    return out
