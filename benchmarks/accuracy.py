@@ -89,6 +89,34 @@ def main():
         e = (d / den).astype(np.float64)
         return float(np.max(e)), float(np.median(e))
 
+    # complex device arrays are UNSUPPORTED on some TPU runtimes (the axon
+    # PJRT stack: c64 transfer errors, c128 transfer CRASHES the worker --
+    # probing is unsafe). Never materialize one off-CPU: run the emulated
+    # rows through the planar (re, im) entry and round-trip components
+    # separately. Same policy as flops.py's complex_ok gate.
+    cplx_planar = is_cplx and jax.default_backend() != "cpu"
+
+    def emulated_c(a_np, b_np, nu, fm):
+        if not cplx_planar:
+            return np.asarray(g8.gemm(jnp.asarray(a_np), jnp.asarray(b_np),
+                                      num_moduli=nu, fastmode=fm))
+        cr, ci = g8.gemm_planar(
+            jnp.asarray(np.ascontiguousarray(a_np.real)),
+            jnp.asarray(np.ascontiguousarray(a_np.imag)),
+            jnp.asarray(np.ascontiguousarray(b_np.real)),
+            jnp.asarray(np.ascontiguousarray(b_np.imag)),
+            num_moduli=nu, fastmode=fm)
+        return (np.asarray(cr) + 1j * np.asarray(ci)).astype(np_dtype)
+
+    def roundtrip(x):
+        if not is_cplx:
+            return np.asarray(jnp.asarray(x)).astype(np_dtype)
+        if not cplx_planar:
+            return np.asarray(jnp.asarray(x)).astype(np_dtype)
+        re = np.asarray(jnp.asarray(np.ascontiguousarray(x.real)))
+        im = np.asarray(jnp.asarray(np.ascontiguousarray(x.imag)))
+        return (re + 1j * im).astype(np_dtype)
+
     rows_out = []
     for k in ks:
         for phi in phis:
@@ -100,8 +128,8 @@ def main():
                 # round-trip through the device: on f32-pair-f64 TPUs the
                 # stored mantissa is ~48 bits; the oracle must see exactly
                 # what the emulator sees
-                a = np.asarray(jnp.asarray(a)).astype(np_dtype)
-                b = np.asarray(jnp.asarray(b)).astype(np_dtype)
+                a = roundtrip(a)
+                b = roundtrip(b)
             ref = oracle(a, b)
             if jax.default_backend() == "cpu" or is_cplx:
                 c_nat = a @ b
@@ -119,14 +147,18 @@ def main():
                     alt = compare.matmul_bf16x9(jnp.asarray(a), jnp.asarray(b))
                     amax_, amed_ = errs(np.asarray(alt), ref)
                     rows_out.append([k, phi, "bf16x9", "", amax_, amed_])
-                else:
+                elif k <= (1 << 17):
                     alt = compare.matmul_os1_int8(jnp.asarray(a),
                                                   jnp.asarray(b), d=8)
                     amax_, amed_ = errs(np.asarray(alt), ref)
                     rows_out.append([k, phi, "os1-int8", 8, amax_, amed_])
+                else:
+                    # OS1's exact-accumulation bound is k <= 2^17 -- record
+                    # the skip instead of crashing the sweep (no silent caps)
+                    rows_out.append([k, phi, "os1-int8", 8,
+                                     "skipped (k > 2^17)", ""])
             for nu in nu_range:
-                c = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b),
-                                       num_moduli=nu, fastmode=bool(args.fast)))
+                c = emulated_c(a, b, nu, bool(args.fast))
                 emax, emed = errs(c, ref)
                 rows_out.append([k, phi, f"oz2-{'fast' if args.fast else 'accu'}",
                                  nu, emax, emed])
@@ -134,8 +166,7 @@ def main():
                 if args.fast and not args.no_robust:
                     # the scale-invariant fast variant next to the
                     # reference-formula row
-                    cr = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b),
-                                            num_moduli=nu, fastmode="robust"))
+                    cr = emulated_c(a, b, nu, "robust")
                     rmax, rmed = errs(cr, ref)
                     rows_out.append([k, phi, "oz2-robust", nu, rmax, rmed])
 

@@ -127,6 +127,12 @@ def main():
                 ph = [phases["quantize"], phases["matmul"],
                       phases["mod_reduce"], phases["crt_inverse"]]
                 print(f"    phases: {phases}", file=sys.stderr)
+            elif args.phases:
+                # no silent caps: say WHY the phase columns are empty
+                print("    phases: skipped (CPU-only in this harness -- the "
+                      "tunneled-device phase splits come from "
+                      "core.gemm_with_phases run directly / BASELINE.md)",
+                      file=sys.stderr)
             rows.append([s, "oz2-fast", nu, t, tflops, *ph])
             print(f"{s}^3 nu={nu}: {t*1e3:.2f} ms = {tflops:.2f} TFLOP/s "
                   f"({tflops/nat_tflops:.2f}x native)", file=sys.stderr)

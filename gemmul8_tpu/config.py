@@ -25,9 +25,8 @@ from . import tables
 
 _DTYPE_SUFFIX = {"float32": "S", "float64": "D", "complex64": "C", "complex128": "Z"}
 
-#: out-of-range num_moduli falls through to the native (non-emulated) matmul,
-#: mirroring the hook's dlsym fallthrough (reference: hook.cu:625-629)
-NATIVE_FALLTHROUGH = 0
+# Native fallthrough (the hook's dlsym analog, reference hook.cu:625-629) is
+# signalled by env_config returning None -- out-of-range num_moduli only.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,12 +54,19 @@ def env_config(dtype_name: str) -> GemmConfig | None:
     nm = int(nm)
     fm_raw = os.environ.get(f"GEMMUL8_FASTMODE_{sfx}", "1").lower()
     fastmode: bool | str
-    if fm_raw in ("0", "false"):
+    if fm_raw in ("0", "false", "accurate", "accu"):
         fastmode = False
     elif fm_raw in ("2", "robust"):
         fastmode = "robust"
-    else:
+    elif fm_raw in ("1", "true", "fast"):
         fastmode = True
+    else:
+        # an unknown spelling must not silently pick fast mode -- e.g.
+        # GEMMUL8_FASTMODE_D=exact would run norm-based shifts while the
+        # user believes they asked for the accurate two-phase mode
+        raise ValueError(
+            f"GEMMUL8_FASTMODE_{sfx}={fm_raw!r}: use 1/fast, 0/accurate, "
+            f"or 2/robust")
     cfg = GemmConfig(
         num_moduli=nm,
         fastmode=fastmode,

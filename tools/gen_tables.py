@@ -164,7 +164,12 @@ def build_backend(moduli: list[int], p_is_double: int) -> dict:
         P_q26.append((float(-pa), float(-pb), pc))
 
         invP.append(rn_f64(Fraction(1, P)))
-        invP_f32.append(rn_f32(Fraction(1, P)))
+        # f32-MANTISSA rounding with UNBOUNDED exponent (stored as f64):
+        # 1/P underflows binary32's range from nu ~ 17, so applying the f32
+        # emin here would flush the table value to subnormal garbage / 0.0
+        # with no way to rescale it back (tables.invP_f32's contract is
+        # "rescale before casting")
+        invP_f32.append(float(rn_to_precision(Fraction(1, P), 24)))
 
         # log2P = round-down-f32( log2(P-1)/2 - 0.5 )
         n = P - 1
@@ -242,11 +247,8 @@ def main():
         "FP8": build_backend(MODULI_FP8, P_IS_DOUBLE["FP8"]),
     }
     dst = os.path.join(os.path.dirname(__file__), "..", "gemmul8_tpu", "_tables_data.py")
-    with open(dst, "w") as f:
-        f.write('"""AUTO-GENERATED by tools/gen_tables.py -- do not edit by hand.\n\n')
-        f.write("Exact CRT/moduli constants (floats stored as hex for bit-exactness).\n")
-        f.write('"""\n\nfrom float import fromhex as _x  # placeholder\n')
-    # rewrite properly (two-pass for clean header)
+    # single atomic write: a partial/placeholder file here would brick
+    # `import gemmul8_tpu` until regenerated
     lines = [
         '"""AUTO-GENERATED by tools/gen_tables.py -- do not edit by hand."""',
         "",
