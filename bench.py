@@ -69,17 +69,23 @@ def timed_loop(fn, a, b, iters, ping):
     np.asarray(loop(a, b))  # compile + warm up
     # median of 3 timed loop runs: one transport hiccup must not become the
     # headline number (each run already amortizes `iters` chained GEMMs, so
-    # this guards the tail, not the mean). Deliberately NOT benchmarks/
-    # _timing.timed_loop: that helper re-dispatches per iteration and
-    # perturbs its first operand host-side; here iterations chain inside
-    # ONE jit so only a scalar crosses the tunneled transport.
+    # this guards the tail, not the mean). Kept self-contained rather than
+    # importing benchmarks/_timing (same chained-in-jit protocol): the
+    # driver runs bench.py standalone and its JSON line must always carry a
+    # number, so the noise floor warns loudly instead of returning NaN.
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
         np.asarray(loop(a, b))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    return max(ts[1] - ping, 1e-9) / iters
+    dt = ts[1] - ping
+    if dt < 2 * ping:
+        log(f"WARNING: measurement ({ts[1]*1e3:.2f} ms) is within the "
+            f"dispatch-ping noise floor ({ping*1e3:.2f} ms); the reported "
+            f"throughput is unreliable")
+        dt = max(dt, ping)   # bounded distortion, never an absurd clamp
+    return dt / iters
 
 
 def main():

@@ -66,10 +66,14 @@ def timed_loop(fn, a, b, iters, ping=None, reps=3, _depth=0):
         np.asarray(loop(a, b))
         ts.append(time.perf_counter() - t0)
     ts.sort()
-    dt = ts[len(ts) // 2] - ping
-    # ping jitter estimate: spread of the measurements themselves, floored at
-    # 5% of the ping (perf_counter noise on the tunneled transport)
-    jitter = max(ts[-1] - ts[0], 0.05 * ping)
+    mid = len(ts) // 2
+    dt = ts[mid] - ping
+    # noise estimate: spread of the LOWER half only (median-to-min), floored
+    # at 5% of the ping. Using the full spread would let ONE transport
+    # hiccup in the top rep -- exactly what the median is there to reject --
+    # trigger minutes of pointless iters-escalation (or a bogus NaN) for a
+    # perfectly resolvable measurement.
+    jitter = max(ts[mid] - ts[0], 0.05 * ping)
     if dt <= 3.0 * jitter:
         if _depth < 2:
             return timed_loop(fn, a, b, iters * 4, ping, reps, _depth + 1)

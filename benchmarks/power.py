@@ -120,7 +120,7 @@ class RaplSampler:
                  for z in self._zones())
         if self._last is None:
             self._last = (now, uj)
-            return 0.0
+            return float("nan")   # no baseline yet: not a real 0 W reading
         t0, e0 = self._last
         self._last = (now, uj)
         return rapl_watts(e0, uj, now - t0)
@@ -129,10 +129,11 @@ class RaplSampler:
 def rapl_watts(e0_uj: int, e1_uj: int, dt: float) -> float:
     """Watts from two RAPL energy_uj readings. The counter WRAPS at
     max_energy_range_uj; a wrapped interval (e1 < e0) cannot be recovered
-    without the range, so report 0 for that sample instead of a huge
-    negative wattage (unit-tested in tests/test_power_parsers.py)."""
+    without the range, so report NaN for that sample -- it is dropped
+    before the energy integral -- instead of a huge negative wattage
+    (unit-tested in tests/test_power_parsers.py)."""
     if e1_uj < e0_uj:
-        return 0.0
+        return float("nan")   # dropped before integrating, not a real 0 W
     return (e1_uj - e0_uj) * 1e-6 / max(dt, 1e-6)
 
 
@@ -184,9 +185,19 @@ def main():
     samples = []  # (t, watts)
     stop = threading.Event()
 
+    sample_errors = [0]
+
     def poll():
         while not stop.is_set():
-            w = sampler.sample() if sampler else float("nan")
+            # a single failed read (tpu-info subprocess timeout, transient
+            # RAPL error) must not kill the sampler thread mid-run -- that
+            # would silently truncate the energy window while flops keep
+            # counting, inflating GFLOPS/W
+            try:
+                w = sampler.sample() if sampler else float("nan")
+            except Exception:
+                sample_errors[0] += 1
+                w = float("nan")
             samples.append((time.time(), w))
             stop.wait(args.period)
 
@@ -204,11 +215,19 @@ def main():
 
     flops = 2.0 * m * n * k * calls
     tflops = flops / elapsed / 1e12
-    if sampler and len(samples) >= 2:
+    # snapshot ONCE: the poll thread can still append after join(timeout=2)
+    # returns (a tpu-info subprocess may be in flight); building ts and ws
+    # from the live list separately could give mismatched lengths
+    snap = [s for s in list(samples) if s[1] == s[1]]   # drop NaN samples
+    if sample_errors[0]:
+        print(f"power: {sample_errors[0]} failed sample(s) dropped",
+              file=sys.stderr)
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy < 2.0
+    if sampler and len(snap) >= 2:
         # trapezoidal energy integral (reference: getWatt.hpp:94-121)
-        ts = np.array([s[0] for s in samples])
-        ws = np.array([s[1] for s in samples])
-        energy_j = float(np.trapezoid(ws, ts))
+        ts = np.array([s[0] for s in snap])
+        ws = np.array([s[1] for s in snap])
+        energy_j = float(trapezoid(ws, ts))
         watts = energy_j / (ts[-1] - ts[0])
         gflops_per_watt = flops / 1e9 / max(energy_j, 1e-9)
     else:

@@ -10,9 +10,11 @@
 //   dd_gemm(A, B, C_hi, C_lo, m, k, n)
 //     A: m*k row-major, B: k*n row-major, C_hi/C_lo: m*n row-major with
 //     C = C_hi + C_lo (non-overlapping double-double).
-//   dd_gemm_err(A, B, C, m, k, n, out_max, out_median_work)
-//     max elementwise relative error of C vs the dd product (median left to
-//     the caller; this returns the error field through out_median_work).
+//   dd_gemm_err(A, B, C, err, m, k, n) -> double
+//     writes the elementwise |C - C_dd| / |C_dd| field into err (m*n) and
+//     returns its max -- a one-pass alternative to dd_gemm + host-side
+//     error math for direct (A, B, C) workflows; tests/oracle.py binds
+//     dd_gemm only (its callers hold a precomputed reference).
 
 #include <cmath>
 #include <cstdint>

@@ -24,9 +24,11 @@ def _load_dd():
         return _dd_lib if _dd_lib is not False else None
     so = os.path.join(_NATIVE_DIR, "libddgemm.so")
     try:
-        if not os.path.exists(so):
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True, timeout=120)
+        # run make unconditionally: it is a no-op when fresh (ddgemm.cpp is
+        # a Makefile dependency), and an edited ddgemm.cpp must never be
+        # silently judged through a stale .so
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
         lib = ctypes.CDLL(so)
         lib.dd_gemm.argtypes = [ctypes.POINTER(ctypes.c_double)] * 4 \
             + [ctypes.c_int64] * 3
@@ -46,6 +48,10 @@ def matmul_dd(a: np.ndarray, b: np.ndarray):
     a = np.ascontiguousarray(a, np.float64)
     b = np.ascontiguousarray(b, np.float64)
     m, k = a.shape
+    if b.shape[0] != k:
+        # the C kernel indexes B[t*n + j] for t < k: a mismatch would read
+        # past the buffer (garbage oracle or segfault), not raise
+        raise ValueError(f"shape mismatch: A {a.shape} @ B {b.shape}")
     n = b.shape[1]
     hi = np.zeros((m, n))
     lo = np.zeros((m, n))

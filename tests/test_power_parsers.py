@@ -54,5 +54,8 @@ def test_watt_suffix_without_space():
 
 def test_rapl_watts_and_counter_wrap():
     assert abs(rapl_watts(1_000_000, 2_000_000, 0.1) - 10.0) < 1e-9
-    # wrapped counter: must not report a huge negative wattage
-    assert rapl_watts(10_000_000, 5_000, 0.1) == 0.0
+    # wrapped counter: must not report a huge negative wattage; NaN (not 0)
+    # so the sample is DROPPED before the energy integral rather than
+    # integrated as a bogus 0 W segment
+    w = rapl_watts(10_000_000, 5_000, 0.1)
+    assert w != w
