@@ -17,6 +17,7 @@ src/matmult.hpp, src/conv_hi2mid_real.hpp, src/inverse_scaling_real.hpp):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -252,7 +253,23 @@ def _emulated_product(a_planes, sft_a, b_planes, sft_b, num_moduli, backend,
         n = b_planes.shape[2]
         if m % 128 == 0 and n % 128 == 0:
             if k <= K_CHUNK:
-                c_hi = residue_matmul(a_planes, b_planes)
+                emit = os.environ.get("GEMMUL8_DOT_EMIT", "hi").lower()
+                if emit not in ("hi", "mid"):
+                    raise ValueError(
+                        f"GEMMUL8_DOT_EMIT={emit!r}: use 'hi' or 'mid'")
+                if emit == "mid":
+                    # A/B lever: let XLA fuse the per-modulus wrap into the
+                    # dot's consumer so only the INT8 c_mid (1 byte/elem, 4x
+                    # less HBM than the int32 C_hi) is materialized for the
+                    # epilogue to read. The dot itself runs ~3% slower with
+                    # a fused consumer (261 vs 269 TOPS probe) -- whether
+                    # the traffic saving wins is hardware-measured, hence
+                    # env-gated. Bit-identical: the epilogue's wrap is a
+                    # value-identity on wrapped residues.
+                    c_hi = mod_reduce(residue_matmul(a_planes, b_planes),
+                                      num_moduli, backend)
+                else:
+                    c_hi = residue_matmul(a_planes, b_planes)
             else:
                 # the fused kernel's wrap accepts any int32 magnitude, so
                 # the K-chunked residue accumulator feeds it directly

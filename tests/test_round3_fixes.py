@@ -353,3 +353,37 @@ def test_estimate_gemm_true_ub_bound_65():
     ub_b = jnp.full((k, 2), 65, jnp.int8)
     c = np.asarray(quantize.estimate_gemm(ub_a, ub_b, tables.Backend.INT8))
     assert float(c[0, 0]) == float(65 * 65 * k)
+
+
+def test_dot_emit_mid_value_identity():
+    """GEMMUL8_DOT_EMIT=mid feeds the fused epilogue mod_reduce's int8 c_mid
+    instead of the int32 C_hi (4x less HBM read on device); the kernel's
+    wrap is a value-identity on wrapped residues, so (hi, lo) must be
+    BIT-identical (int32-view compare: synthetic random residues can
+    legitimately descale to inf/NaN, where value compare lies)."""
+    from gemmul8_tpu import pallas_kernels as pk
+    rng = np.random.default_rng(70)
+    nu = 16   # headline setting, includes the p=256 mask-wrap modulus
+    pa = jnp.asarray(rng.integers(-128, 128, (nu, 128, 96)), jnp.int8)
+    pb = jnp.asarray(rng.integers(-128, 128, (nu, 96, 128)), jnp.int8)
+    c_hi = core.residue_matmul(pa, pb)
+    c_mid = core.mod_reduce(c_hi, nu, "INT8")
+    sfta = jnp.asarray(rng.integers(-30, 30, 128), jnp.int32)
+    sftb = jnp.asarray(rng.integers(-30, 30, 128), jnp.int32)
+    h1, l1 = pk.fused_epilogue(c_hi, sfta, sftb, nu, "INT8", 53)
+    h2, l2 = pk.fused_epilogue(c_mid, sfta, sftb, nu, "INT8", 53)
+    bits = lambda x: np.asarray(x).view(np.int32)  # noqa: E731
+    np.testing.assert_array_equal(bits(h1), bits(h2))
+    np.testing.assert_array_equal(bits(l1), bits(l2))
+    # real quantized operands: finite everywhere and still identical
+    a = jnp.asarray(rng.standard_normal((128, 128)))
+    b = jnp.asarray(rng.standard_normal((128, 128)))
+    qa = g8.precompute(a, "A", num_moduli=nu)
+    qb = g8.precompute(b, "B", num_moduli=nu)
+    ch = core.residue_matmul(qa.planes, qb.planes)
+    cm = core.mod_reduce(ch, nu, "INT8")
+    H1, L1 = pk.fused_epilogue(ch, qa.sft, qb.sft, nu, "INT8", 53)
+    H2, L2 = pk.fused_epilogue(cm, qa.sft, qb.sft, nu, "INT8", 53)
+    assert np.all(np.isfinite(np.asarray(H1)))
+    np.testing.assert_array_equal(bits(H1), bits(H2))
+    np.testing.assert_array_equal(bits(L1), bits(L2))

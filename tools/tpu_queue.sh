@@ -33,6 +33,8 @@ for c in $(seq 1 "$CYCLES"); do
     sleep "$GAP"
     run python -u tools/probe_int4.py 4096
     sleep "$GAP"
+    run python -u tools/probe_dot_emit.py 8192 16
+    sleep "$GAP"
     run python -u benchmarks/solver_flops.py --ops getrf,potrf --sizes 4096 \
         --nu 14 --block 1024 --iters 2
     sleep "$GAP"
