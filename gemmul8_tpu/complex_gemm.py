@@ -108,6 +108,26 @@ def _extract_ub_lanes(re, im, scale_axis, backend):
     return ub_r, ub_i, ub_ri, pre
 
 
+def _combine_3m_bound(d, backend):
+    """max(|Re|,|Im|) product-magnitude upper bound from the three estimation
+    lane products d = (C0, uAr@uBi, uAi@uBr) (each already an upper bound of
+    its exact lane product -- quantize.estimate_gemm inflates float paths).
+
+    Combines in f32 with explicit inflations so the result stays a true
+    upper bound for ANY k: the lane sums can exceed both int32 and the
+    f32-exact integer range (c0 + c1 = uAr@uBr + uAi@uBi <= 2 * 65^2 * k for
+    INT8 -- an int32 combine overflows from k ~ 2.5e5, and the previous
+    int-typed combine silently wrapped there). The 2^-20 final inflation
+    dominates the <= 3 f32 roundings relative to (|c0| + c1), including the
+    cancellation case c0 ~ -c1 where bound falls back to c1 >= the true
+    max. Costs at most one shift bit at a log2 boundary."""
+    del backend  # same combine for INT8/FP8 (per-lane inflation upstream)
+    one_ulp = np.float32(1.0 + 2.0 ** -22)
+    c0 = d[0].astype(jnp.float32)
+    c1 = (d[1].astype(jnp.float32) + d[2].astype(jnp.float32)) * one_ulp
+    return jnp.maximum(c0 + c1, c1) * np.float32(1.0 + 2.0 ** -20)
+
+
 def _shift_complex_accu(ar, ai, br, bi, num_moduli, backend):
     """Accurate mode with the reference's 3M product bounds
     (scaling_accu_complex.hpp:128-226, find_max.hpp:99-251): three estimation
@@ -124,20 +144,15 @@ def _shift_complex_accu(ar, ai, br, bi, num_moduli, backend):
     costing ~1-2 quantization bits on accu-mode CGEMM/ZGEMM)."""
     ua_r, ua_i, ua_ri, pre_a = _extract_ub_lanes(ar, ai, 0, backend)
     ub_r, ub_i, ub_ri, pre_b = _extract_ub_lanes(br, bi, 1, backend)
-    # one batched estimation dot: (3, m, k) x (3, k, n)
+    # three estimation dots (3, m, k) x (3, k, n), each through
+    # quantize.estimate_gemm: its K-chunking keeps the INT8 path exact past
+    # k ~ 5e5 (a plain int32 dot wraps there -- the same latent overflow the
+    # round-3 real-path fix closed) and its FP8 path carries the (k+1)*2^-24
+    # round-off inflation
     lhs = jnp.stack([ua_ri, ua_r, ua_i])
     rhs = jnp.stack([ub_ri, ub_i, ub_r])
-    if backend == tables.Backend.INT8:
-        d = jax.lax.dot_general(lhs, rhs, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.int32)
-        c0, c1 = d[0], d[1] + d[2]
-    else:
-        k = lhs.shape[2]
-        d = jax.lax.dot_general(lhs, rhs, (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        infl = np.float32(1.0 + (k + 1) * 2.0 ** -24)
-        c0, c1 = d[0] * infl, d[1] * infl + d[2] * infl
-    bound = jnp.maximum(c0 + c1, c1)
+    d = jax.vmap(lambda l, r: quantize.estimate_gemm(l, r, backend))(lhs, rhs)
+    bound = _combine_3m_bound(d, backend)
     sft_a = quantize.shift_accu_from_chi(
         jnp.max(bound, axis=1), pre_a, num_moduli, backend)
     sft_b = quantize.shift_accu_from_chi(
@@ -185,13 +200,27 @@ def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
 
     pa = _quantize_complex(ar, ai, sft_a, 0, num_moduli, backend, conj=conj_a)
     pb = _quantize_complex(br, bi, sft_b, 1, num_moduli, backend, conj=conj_b)
+    ab_r, ab_i = _complex_product(pa, pb, sft_a, sft_b, num_moduli, backend,
+                                  real_dt, epilogue)
+    if ab_r.shape != (m, n):
+        ab_r = ab_r[:m, :n]
+        ab_i = ab_i[:m, :n]
+    return ab_r, ab_i
 
-    k = ar.shape[1]
+
+def _complex_product(pa, pb, sft_a, sft_b, num_moduli, backend, real_dt,
+                     epilogue):
+    """Lane-product residue GEMMs + 3M recombine + dual CRT from encoded
+    (3, nu, ...) lane plane sets (shared by the planar GEMM above and herk's
+    plane-reuse path). On accelerators with aligned INT8 planes the whole
+    epilogue runs as one fused Pallas consumer of the batched int8 dot."""
+    m, k = pa.shape[-2], pa.shape[-1]
+    n = pb.shape[-1]
     use_fused = (core.resolve_epilogue(epilogue) == "ff"
                  and jax.default_backend() != "cpu"
                  and backend == tables.Backend.INT8
                  and k <= core.K_CHUNK
-                 and ar.shape[0] % 128 == 0 and br.shape[1] % 128 == 0)
+                 and m % 128 == 0 and n % 128 == 0)
     if use_fused:
         from . import pallas_kernels as pk
         nu = num_moduli
@@ -231,9 +260,6 @@ def emulate_matmul_complex_planar(ar: jax.Array, ai: jax.Array,
                                       backend, real_dt, epilogue)
         ab_i = core.reconstruct_scale(mid_i, sft_a, sft_b, num_moduli,
                                       backend, real_dt, epilogue)
-    if ab_r.shape != (m, n):
-        ab_r = ab_r[:m, :n]
-        ab_i = ab_i[:m, :n]
     return ab_r, ab_i
 
 
@@ -315,6 +341,132 @@ def gemm_complex(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
                       num_moduli=num_moduli, fastmode=fastmode, backend=backend,
                       op_a=op_a, op_b=op_b, has_c=has_c, epilogue=epilogue,
                       trivial_alpha=trivial_alpha, beta_kind=beta_kind)
+
+
+def _herk_rhs_lanes(pa, num_moduli, backend):
+    """Derive A^H's rhs lane plane sets from A's lhs lanes by transpose views
+    plus two cheap elementwise rewraps -- no second quantization pass (the
+    complex analog of syrk's plane reuse). With lhs lanes (rr, ri, rr+ri) of
+    A, the rhs operand conj(A).T needs lanes (rr, -ri, rr-ri), each
+    transposed: negation and the difference are residue-exact, with the
+    wrap recomputed in int32 (p=256's asymmetric range makes -(-128) = 128
+    overflow int8 and fall out of [-p/2, p/2))."""
+    mods = tables.moduli(backend)[:num_moduli]
+    p_arr = jnp.asarray(mods, jnp.int32).reshape(num_moduli, 1, 1)
+    rr = pa[0].astype(jnp.int32)
+    ri = pa[1].astype(jnp.int32)
+
+    def wrap(s):
+        s = jnp.where(2 * s >= p_arr, s - p_arr, s)
+        return jnp.where(2 * s < -p_arr, s + p_arr, s)
+
+    neg_i = wrap(-ri)
+    diff = wrap(rr - ri)
+    mid_t = pa.dtype
+    lanes = jnp.stack([pa[0].astype(mid_t), neg_i.astype(mid_t),
+                       diff.astype(mid_t)])
+    return jnp.swapaxes(lanes, lanes.ndim - 2, lanes.ndim - 1)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "num_moduli", "fastmode", "backend", "trans", "epilogue"))
+def _herk(ar, ai, *, num_moduli, fastmode, backend, trans, epilogue):
+    if trans:
+        # A^H @ A = B @ B^H with B = A^H = conj(A).T
+        ar, ai = ar.T, -ai.T
+    real_dt = ar.dtype
+    mdim = ar.shape[0]
+    if jax.default_backend() != "cpu":
+        ar = core._pad128(ar, (0, 1))
+        ai = core._pad128(ai, (0, 1))
+    # ONE shift serves both sides: rows of A and columns of A^H carry the
+    # same (|Re|, |Im|) populations, so sft_rhs == sft_lhs
+    if fastmode:
+        var = "invariant" if fastmode == "robust" else "reference"
+        sft = _shift_complex_fast(ar, ai, num_moduli, backend,
+                                  reduce_axis=1, variant=var)
+    else:
+        # 3M product-bound estimation with rhs extracts = transposed lhs
+        # extracts; the bound matrix is symmetric, so row max == col max
+        ua_r, ua_i, ua_ri, pre = _extract_ub_lanes(ar, ai, 0, backend)
+        lhs = jnp.stack([ua_ri, ua_r, ua_i])
+        rhs = jnp.stack([jnp.swapaxes(ua_ri, 0, 1), jnp.swapaxes(ua_i, 0, 1),
+                         jnp.swapaxes(ua_r, 0, 1)])
+        d = jax.vmap(lambda l, r: quantize.estimate_gemm(l, r, backend))(
+            lhs, rhs)
+        bound = _combine_3m_bound(d, backend)
+        sft = quantize.shift_accu_from_chi(jnp.max(bound, axis=1), pre,
+                                           num_moduli, backend)
+    pa = _quantize_complex(ar, ai, sft, 0, num_moduli, backend, conj=False)
+    pb = _herk_rhs_lanes(pa, num_moduli, backend)
+    out_r, out_i = _complex_product(pa, pb, sft, sft, num_moduli, backend,
+                                    real_dt, epilogue)
+    if out_r.shape != (mdim, mdim):
+        out_r = out_r[:mdim, :mdim]
+        out_i = out_i[:mdim, :mdim]
+    return out_r, out_i
+
+
+def herk(a: jax.Array, *, trans: bool = False, num_moduli: int = 8,
+         fastmode="robust", backend: str = tables.Backend.INT8,
+         alpha=1.0, beta=0.0, c: Optional[jax.Array] = None,
+         epilogue: str = "auto") -> jax.Array:
+    """Emulated Hermitian rank-k update: C = alpha * A @ A^H + beta * C
+    (trans=True: alpha * A^H @ A + beta * C), alpha/beta REAL per BLAS zherk.
+
+    Complex counterpart of core.syrk and a capability beyond the reference
+    (which is GEMM-only): the 3M lane plane sets of A^H are transpose views
+    plus two elementwise rewraps of A's lanes (reference lane structure:
+    gemmul8_complex.hpp:52-226), so the encode cost is HALF of
+    gemm(a, a.conj().T). fastmode defaults to "robust" for the same
+    Gram-diagonal Cauchy-Schwarz-equality reason as syrk. INT8 backend
+    (FP8's split planes cannot derive the difference lane from carriers;
+    use gemm for FP8 Hermitian products).
+    """
+    a = jnp.asarray(a)
+    if a.ndim != 2:
+        raise ValueError(f"herk expects a 2-D operand, got ndim={a.ndim}")
+    if not jnp.issubdtype(a.dtype, jnp.complexfloating):
+        raise TypeError("herk is complex-only; use syrk for real operands")
+    if backend != tables.Backend.INT8:
+        raise NotImplementedError(
+            "herk supports the INT8 backend (FP8 split planes cannot "
+            "derive the 3M difference lane); use gemm for FP8")
+    name = np.dtype(a.dtype).name
+    lo, hi = tables.VALID_RANGE[name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}] "
+                         f"for {name}")
+    out_r, out_i = _herk(jnp.real(a), jnp.imag(a), num_moduli=num_moduli,
+                         fastmode=fastmode, backend=backend,
+                         trans=bool(trans), epilogue=epilogue)
+    out = jax.lax.complex(out_r, out_i).astype(a.dtype)
+    if not (isinstance(alpha, (int, float)) and alpha == 1):
+        out = jnp.asarray(alpha).real.astype(out_r.dtype) * out
+    if c is not None and not (isinstance(beta, (int, float)) and beta == 0):
+        out = out + (c if isinstance(beta, (int, float)) and beta == 1
+                     else jnp.asarray(beta).real.astype(out_r.dtype) * c)
+    return out
+
+
+def herk_planar(ar: jax.Array, ai: jax.Array, *, trans: bool = False,
+                num_moduli: int = 8, fastmode="robust",
+                backend: str = tables.Backend.INT8, epilogue: str = "auto"):
+    """Planar herk: (Ar, Ai) -> (Cr, Ci) = A @ A^H on separate real planes,
+    for accelerators whose runtimes lack complex dtypes (see gemm_planar).
+    Bit-identical to herk() on complex views of the same data."""
+    name = {"float32": "complex64", "float64": "complex128"}[
+        np.dtype(ar.dtype).name]
+    lo, hi = tables.VALID_RANGE[name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}] "
+                         f"for {name}")
+    if backend != tables.Backend.INT8:
+        raise NotImplementedError(
+            "herk supports the INT8 backend (FP8 split planes cannot "
+            "derive the 3M difference lane); use gemm_planar for FP8")
+    return _herk(ar, ai, num_moduli=num_moduli, fastmode=fastmode,
+                 backend=backend, trans=bool(trans), epilogue=epilogue)
 
 
 @functools.partial(jax.jit, static_argnames=(

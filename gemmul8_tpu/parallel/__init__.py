@@ -1,2 +1,2 @@
-from .summa import (summa_gemm, make_mesh, summa_work_bytes,  # noqa: F401
-                    summa_bytes_moved)
+from .summa import (summa_gemm, summa_gemm_planar, make_mesh,  # noqa: F401
+                    summa_work_bytes, summa_bytes_moved)

@@ -204,6 +204,164 @@ def _dist_shifts(a_blk, b_blk, num_moduli, fastmode, backend):
     return _shift_accu_dist(a_blk, b_blk, num_moduli, backend)
 
 
+def _extract_ub_lanes_dist(re, im, scale_axis, axis_name, backend):
+    """Distributed analog of complex_gemm._extract_ub_lanes: ONE shared
+    pre-shift per row/col from the GLOBAL amax(max(|Re|,|Im|)) via pmax
+    (order-free), then the local per-lane ub extraction -- bit-identical
+    lane extracts for any sharding of the reduced axis."""
+    reduce_axis = 1 - scale_axis
+    ar_, ai_ = jnp.abs(re), jnp.abs(im)
+    loc = jnp.max(jnp.maximum(ar_, ai_), axis=reduce_axis)
+    if re.dtype != jnp.float32 and jax.default_backend() != "cpu":
+        # f64 cross-device MAX cannot lower under the f32-pair x64 rewrite;
+        # the amax only feeds ilogb and f64-pair storage cannot exceed f32's
+        # range, so the pmax rides f32 exactly (see _extract_ub_dist)
+        amax = jax.lax.pmax(loc.astype(jnp.float32),
+                            axis_name).astype(re.dtype)
+    else:
+        amax = jax.lax.pmax(loc, axis_name)
+    E = quantize.ilogb(jnp.where(amax > 0, amax, jnp.ones_like(amax)))
+    pre = np.int32(quantize.MAX_UFP[backend]) - E
+    ub_r = quantize.extract_ub_with_pre(ar_, pre, reduce_axis, backend)
+    ub_i = quantize.extract_ub_with_pre(ai_, pre, reduce_axis, backend)
+    return ub_r, ub_i, ub_r - ub_i, pre
+
+
+def _shift_accu_dist_cplx(ar, ai, br, bi, num_moduli, backend):
+    """Distributed ACCURATE-mode complex shifts: the 3M product-bound
+    estimation (complex_gemm._shift_complex_accu) with the three lane
+    estimation GEMMs sharded over the mesh. Lane extracts are single
+    int8/bf16 planes gathered with the same cheap collectives as the real
+    path; the row/col bound maxima are pmax-reduced (order-free), so the
+    shifts are bit-identical on any mesh shape."""
+    from .. import complex_gemm as cg
+    ua_r, ua_i, ua_ri, pre_a = _extract_ub_lanes_dist(ar, ai, 0, "y", backend)
+    ub_r, ub_i, ub_ri, pre_b = _extract_ub_lanes_dist(br, bi, 1, "x", backend)
+    lhs = jnp.stack([ua_ri, ua_r, ua_i])        # (3, m_loc, k/Y)
+    rhs = jnp.stack([ub_ri, ub_i, ub_r])        # (3, k/X, n_loc)
+    lg = jax.lax.all_gather(lhs, "y", axis=2, tiled=True)
+    bg = jax.lax.all_gather(rhs, "x", axis=1, tiled=True)
+    d = jax.vmap(lambda l, r: quantize.estimate_gemm(l, r, backend))(lg, bg)
+    bound = cg._combine_3m_bound(d, backend)
+    row_max = jax.lax.pmax(jnp.max(bound, axis=1), "y")
+    col_max = jax.lax.pmax(jnp.max(bound, axis=0), "x")
+    sft_a = quantize.shift_accu_from_chi(row_max, pre_a, num_moduli, backend)
+    sft_b = quantize.shift_accu_from_chi(col_max, pre_b, num_moduli, backend)
+    return sft_a, sft_b
+
+
+def _dist_shifts_cplx(ar, ai, br, bi, num_moduli, fastmode, backend):
+    """Distributed shared complex shifts: fast mode concatenates the (Re, Im)
+    planes along the reduced axis -- amax = max(|Re|,|Im|) via pmax and
+    norm^2 = sum(Re^2 + Im^2) via the order-free two-tier reduction, exactly
+    the reference's complex reduction (scaling_fast_complex.hpp) made
+    mesh-shape-invariant."""
+    if fastmode:
+        var = "invariant" if fastmode == "robust" else "reference"
+        sft_a = _shift_fast_dist(jnp.concatenate([ar, ai], axis=1),
+                                 num_moduli, backend, 1, "y", variant=var)
+        sft_b = _shift_fast_dist(jnp.concatenate([br, bi], axis=0),
+                                 num_moduli, backend, 0, "x", variant=var)
+        return sft_a, sft_b
+    return _shift_accu_dist_cplx(ar, ai, br, bi, num_moduli, backend)
+
+
+def _summa_local_cplx(ar_blk, ai_blk, br_blk, bi_blk, num_moduli, fastmode,
+                      backend, epilogue):
+    """shard_map body for the PLANAR-COMPLEX SUMMA (gather path): shared
+    order-free shifts -> local 3-lane quantization (Re, Im, (Re+Im) mod p;
+    reference: gemmul8_complex.hpp:52-226 lane structure) -> int8 lane-plane
+    all-gathers (3x the real path's collective bytes, still 8x cheaper than
+    gathering c128 operands) -> local exact lane-product residue GEMMs ->
+    local 3M recombine + dual CRT per C shard."""
+    from .. import complex_gemm as cg
+    sft_a, sft_b = _dist_shifts_cplx(ar_blk, ai_blk, br_blk, bi_blk,
+                                     num_moduli, fastmode, backend)
+    pa = cg._quantize_complex(ar_blk, ai_blk, sft_a, 0, num_moduli, backend,
+                              conj=False)
+    pb = cg._quantize_complex(br_blk, bi_blk, sft_b, 1, num_moduli, backend,
+                              conj=False)
+    # lane plane sets shard exactly like real planes: K-panel all-gathers of
+    # the (3, nu, ...) stacks along the same axes (FP8 lanes carry the extra
+    # slot axis; A's k is always last, B's is second-to-last)
+    ag = jax.lax.all_gather(pa, "y", axis=pa.ndim - 1, tiled=True)
+    bg = jax.lax.all_gather(pb, "x", axis=pb.ndim - 2, tiled=True)
+    mids = jax.vmap(
+        lambda x, y: core.residue_gemm(x, y, num_moduli, backend))(ag, bg)
+    mid_r, mid_i = cg._recombine_3m(mids, num_moduli, backend)
+    cr = core.reconstruct_scale(mid_r, sft_a, sft_b, num_moduli, backend,
+                                ar_blk.dtype, epilogue)
+    ci = core.reconstruct_scale(mid_i, sft_a, sft_b, num_moduli, backend,
+                                ar_blk.dtype, epilogue)
+    return cr, ci
+
+
+def _summa_stream_local_cplx(ar_blk, ai_blk, br_blk, bi_blk, num_moduli,
+                             fastmode, backend, epilogue, k_panel, k,
+                             x_size, y_size, bcast="ring"):
+    """K-panel-STREAMING planar-complex SUMMA body (INT8): the 3*nu lane
+    planes stream through the same ring/psum panel broadcasts as the real
+    path (lane i of A pairs with lane i of B -- the lane axis is just more
+    batch), accumulating the three lane products in residue space; the 3M
+    recombine and dual CRT run once at the end, locally per C shard.
+    Bit-identical to the gather path and to every mesh shape."""
+    from .. import complex_gemm as cg
+    sft_a, sft_b = _dist_shifts_cplx(ar_blk, ai_blk, br_blk, bi_blk,
+                                     num_moduli, fastmode, backend)
+    pa = cg._quantize_complex(ar_blk, ai_blk, sft_a, 0, num_moduli, backend,
+                              conj=False)
+    pb = cg._quantize_complex(br_blk, bi_blk, sft_b, 1, num_moduli, backend,
+                              conj=False)
+    planes = 3 * num_moduli
+    m_loc, n_loc = pa.shape[-2], pb.shape[-1]
+    pa = pa.reshape(planes, m_loc, pa.shape[-1])
+    pb = pb.reshape(planes, pb.shape[-2], n_loc)
+    k_y = k // y_size
+    k_x = k // x_size
+    w = k_panel
+    steps = k // w
+    p_max = int(max(tables.moduli(backend)[:num_moduli]))
+    acc_bound = steps * p_max            # per-step residues in [0, p)
+    if acc_bound >= 2 ** 31:
+        raise ValueError(
+            f"streamed residue accumulator would overflow int32: {steps} "
+            f"steps x p_max={p_max}; raise k_panel or use the gather path")
+    mods = jnp.asarray(tables.moduli(backend)[:num_moduli], jnp.int32)
+    mods3 = jnp.tile(mods, 3).reshape(planes, 1, 1)
+
+    def bcast_fn(t):
+        a_pan = _bcast_panel(pa, "y", (t * w) // k_y,
+                             t * w - ((t * w) // k_y) * k_y,
+                             (planes, m_loc, w), 2, y_size, bcast)
+        b_pan = _bcast_panel(pb, "x", (t * w) // k_x,
+                             t * w - ((t * w) // k_x) * k_x,
+                             (planes, w, n_loc), 1, x_size, bcast)
+        return a_pan, b_pan
+
+    def step_acc(acc, ap, bp):
+        part = core.residue_matmul(ap, bp)          # exact: w <= 2^17
+        return acc + part % mods3                   # residues add mod p
+
+    def body(t, carry):
+        acc, ap, bp = carry
+        nxt = bcast_fn(t + 1)
+        return (step_acc(acc, ap, bp), *nxt)
+
+    a0, b0 = bcast_fn(jnp.int32(0))
+    acc0 = jnp.zeros((planes, m_loc, n_loc), jnp.int32)
+    acc, ap, bp = jax.lax.fori_loop(0, steps - 1, body, (acc0, a0, b0))
+    acc = step_acc(acc, ap, bp)
+    r = acc % mods3
+    c_mid3 = jnp.where(2 * r >= mods3, r - mods3, r).astype(jnp.int8)
+    mid_r, mid_i = cg._recombine_3m(
+        c_mid3.reshape(3, num_moduli, m_loc, n_loc), num_moduli, backend)
+    cr = core.reconstruct_scale(mid_r, sft_a, sft_b, num_moduli, backend,
+                                ar_blk.dtype, epilogue)
+    ci = core.reconstruct_scale(mid_i, sft_a, sft_b, num_moduli, backend,
+                                ar_blk.dtype, epilogue)
+    return cr, ci
+
+
 def _summa_local(a_blk, b_blk, num_moduli, fastmode, backend, epilogue):
     """shard_map body: local quantize -> int8 plane all-gathers -> local exact
     residue GEMM -> local CRT + inverse scaling."""
@@ -384,6 +542,15 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
         raise ValueError(f"bcast must be 'ring' or 'psum', got {bcast!r}")
     if mesh is None:
         mesh = make_mesh()
+    if jnp.issubdtype(jnp.dtype(a.dtype), jnp.complexfloating):
+        # complex-dtype convenience wrapper over the planar distributed path
+        # (the device-native complex entry -- some TPU runtimes lack complex
+        # dtypes entirely; CPU/virtual meshes take this path fine)
+        cr, ci = summa_gemm_planar(
+            jnp.real(a), jnp.imag(a), jnp.real(b), jnp.imag(b), mesh=mesh,
+            num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+            epilogue=epilogue, k_panel=k_panel, bcast=bcast)
+        return jax.lax.complex(cr, ci).astype(a.dtype)
     lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
     if not lo <= num_moduli <= hi:
         raise ValueError(f"num_moduli={num_moduli} out of [{lo},{hi}]")
@@ -392,29 +559,9 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
             "fast-mode distributed shifts support k <= 2^33 (two-tier exact "
             "int32 norm pieces); use fastmode=False for larger k")
 
-    spec = P("x", "y")
-    tgt = NamedSharding(mesh, spec)
-
-    def _ensure_sharded(x):
-        """Accept already-sharded global arrays as-is; reshard mismatched
-        GLOBAL arrays with a jitted identity (a collective relayout, legal
-        across processes -- e.g. transposed-sharding slices coming out of
-        the solver/QR layers); device_put covers single-process inputs.
-        Host (non-jax) arrays on a multi-process mesh cannot be sharded
-        here -- build them with jax.make_array_from_callback."""
-        if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
-            try:
-                if x.sharding.is_equivalent_to(tgt, x.ndim):
-                    return x
-            except Exception:
-                if x.sharding == tgt:
-                    return x
-            if not x.is_fully_addressable:
-                return _reshard_jit(tgt)(x)
-        return jax.device_put(x, tgt)
-
-    a = _ensure_sharded(a)
-    b = _ensure_sharded(b)
+    tgt = NamedSharding(mesh, P("x", "y"))
+    a = _ensure_sharded(a, tgt)
+    b = _ensure_sharded(b, tgt)
     x_size, y_size = mesh.devices.shape
     k = a.shape[1]
     if k_panel is not None:
@@ -430,6 +577,108 @@ def summa_gemm(a: jax.Array, b: jax.Array, *, mesh: Mesh | None = None,
     fn = _summa_jit(mesh, num_moduli, fastmode, backend, epilogue,
                     k_panel, bcast, k)
     return fn(a, b)
+
+
+def summa_gemm_planar(ar: jax.Array, ai: jax.Array, br: jax.Array,
+                      bi: jax.Array, *, mesh: Mesh | None = None,
+                      num_moduli: int = 8, fastmode: bool | str = True,
+                      backend: str = tables.Backend.INT8,
+                      epilogue: str = "auto", k_panel: int | None = None,
+                      bcast: str = "ring"):
+    """Distributed emulated COMPLEX GEMM on planar operands:
+    (Ar, Ai) x (Br, Bi) -> (Cr, Ci) over a 2D mesh (the device-native
+    complex entry; summa_gemm on complex dtypes delegates here).
+
+    The 3-lane residue plane sets (Re, Im, (Re+Im) mod p; reference:
+    gemmul8_complex.hpp:52-226) shard exactly like real planes -- int8
+    collectives x3 lanes -- and the 3M recombine + dual CRT run locally per
+    C shard. Shifts are shared per row/col from max(|Re|,|Im|) and the joint
+    norm, via the same order-free pmax + two-tier-psum reductions as the
+    real path, so results are bit-identical for ANY mesh shape and between
+    the gather and k_panel-streaming algorithms.
+
+    k_panel (K-panel streaming, bounded memory) supports the INT8 backend;
+    FP8 lane planes take the gather path.
+    """
+    if bcast not in ("ring", "psum"):
+        raise ValueError(f"bcast must be 'ring' or 'psum', got {bcast!r}")
+    if mesh is None:
+        mesh = make_mesh()
+    name = {"float32": "complex64", "float64": "complex128"}[
+        np.dtype(ar.dtype).name]
+    lo, hi = tables.VALID_RANGE[name]
+    if not lo <= num_moduli <= hi:
+        raise ValueError(
+            f"num_moduli={num_moduli} out of [{lo},{hi}] for {name}")
+    if backend not in (tables.Backend.INT8, tables.Backend.FP8):
+        raise ValueError(f"backend must be 'INT8' or 'FP8', got {backend!r}")
+    if fastmode and ar.shape[1] > (1 << 32):
+        raise ValueError(
+            "fast-mode distributed complex shifts support k <= 2^32 (the "
+            "Re/Im lane concat doubles the two-tier norm sample count); use "
+            "fastmode=False for larger k")
+    tgt = NamedSharding(mesh, P("x", "y"))
+    ar = _ensure_sharded(ar, tgt)
+    ai = _ensure_sharded(ai, tgt)
+    br = _ensure_sharded(br, tgt)
+    bi = _ensure_sharded(bi, tgt)
+    x_size, y_size = mesh.devices.shape
+    k = ar.shape[1]
+    if k_panel is not None:
+        if backend != tables.Backend.INT8:
+            raise ValueError(
+                "k_panel streaming supports the INT8 backend only for "
+                "complex operands; use the gather path (k_panel=None) "
+                "for FP8")
+        if k % k_panel or (k // x_size) % k_panel or (k // y_size) % k_panel:
+            raise ValueError(
+                f"k_panel={k_panel} must divide k/mesh.x={k // x_size} "
+                f"and k/mesh.y={k // y_size}")
+        if k_panel > (1 << 17):
+            raise ValueError("k_panel must be <= 2^17 for INT8 "
+                             "(exact accumulation of panel products)")
+    fn = _summa_jit_cplx(mesh, num_moduli, fastmode, backend, epilogue,
+                         k_panel, bcast, k)
+    return fn(ar, ai, br, bi)
+
+
+@functools.lru_cache(maxsize=None)
+def _summa_jit_cplx(mesh, num_moduli, fastmode, backend, epilogue, k_panel,
+                    bcast, k):
+    """One jitted planar-complex SUMMA program per config (see _summa_jit)."""
+    spec = P("x", "y")
+    x_size, y_size = mesh.devices.shape
+    if k_panel is not None:
+        body = functools.partial(
+            _summa_stream_local_cplx, num_moduli=num_moduli,
+            fastmode=fastmode, backend=backend, epilogue=epilogue,
+            k_panel=k_panel, k=k, x_size=x_size, y_size=y_size, bcast=bcast)
+    else:
+        body = functools.partial(_summa_local_cplx, num_moduli=num_moduli,
+                                 fastmode=fastmode, backend=backend,
+                                 epilogue=epilogue)
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec, spec),
+        out_specs=(spec, spec), check_vma=False))
+
+
+def _ensure_sharded(x, tgt):
+    """Accept already-sharded global arrays as-is; reshard mismatched
+    GLOBAL arrays with a jitted identity (a collective relayout, legal
+    across processes -- e.g. transposed-sharding slices coming out of
+    the solver/QR layers); device_put covers single-process inputs.
+    Host (non-jax) arrays on a multi-process mesh cannot be sharded
+    here -- build them with jax.make_array_from_callback."""
+    if isinstance(x, jax.Array) and not isinstance(x, jax.core.Tracer):
+        try:
+            if x.sharding.is_equivalent_to(tgt, x.ndim):
+                return x
+        except Exception:
+            if x.sharding == tgt:
+                return x
+        if not x.is_fully_addressable:
+            return _reshard_jit(tgt)(x)
+    return jax.device_put(x, tgt)
 
 
 @functools.lru_cache(maxsize=None)
@@ -477,26 +726,32 @@ def summa_work_bytes(m: int, n: int, k: int, mesh_shape: tuple[int, int],
     footprint fits a pod-slice HBM.
 
     FP8 planes carry 3 bf16 slots per element (6 B vs INT8's 1 B) and an
-    int16 c_mid -- mirroring core.work_bytes' per-backend sizes."""
+    int16 c_mid -- mirroring core.work_bytes' per-backend sizes.
+
+    Complex dtypes (summa_gemm_planar) triple the plane/panel/accumulator
+    terms (the 3M lane sets) and double the epilogue term (dual CRT); the
+    complex itemsize already covers both input planes."""
     X, Y = mesh_shape
-    it = jnp.dtype(dtype).itemsize
+    dt = jnp.dtype(dtype)
+    lanes = 3 if jnp.issubdtype(dt, jnp.complexfloating) else 1
+    it = dt.itemsize
     plane_b = 6 if backend == tables.Backend.FP8 else 1
     mid_b = 2 if backend == tables.Backend.FP8 else 1
     m_l, n_l, k_y, k_x = m // X, n // Y, k // Y, k // X
     nu = num_moduli
     inputs = (m_l * k_y + k_x * n_l) * it
-    planes = nu * plane_b * (m_l * k_y + k_x * n_l)
+    planes = lanes * nu * plane_b * (m_l * k_y + k_x * n_l)
     if k_panel is None:
-        panels = nu * plane_b * (m_l * k + k * n_l)    # full-K gathers
+        panels = lanes * nu * plane_b * (m_l * k + k * n_l)  # full-K gathers
         # gathered k beyond the exact-dot bound runs the chunked residue
         # accumulation inside core.residue_gemm (int32 accumulator)
         k_lim = core.K_CHUNK if backend == tables.Backend.INT8 else (1 << 16)
-        acc = 4 * nu * m_l * n_l if k > k_lim else 0
+        acc = 4 * lanes * nu * m_l * n_l if k > k_lim else 0
     else:
-        panels = 2 * nu * plane_b * k_panel * (m_l + n_l)  # double-buffered
-        acc = 4 * nu * m_l * n_l                       # int32 residue acc
-    c_mid = nu * mid_b * m_l * n_l
-    epilogue = 2 * 4 * m_l * n_l                       # fused hi/lo f32 pair
+        panels = 2 * lanes * nu * plane_b * k_panel * (m_l + n_l)  # dbl-buf
+        acc = 4 * lanes * nu * m_l * n_l               # int32 residue acc
+    c_mid = lanes * nu * mid_b * m_l * n_l
+    epilogue = (2 if lanes == 3 else 1) * 2 * 4 * m_l * n_l  # hi/lo f32 pair
     out = m_l * n_l * it
     return inputs + planes + panels + acc + c_mid + epilogue + out
 
@@ -505,7 +760,8 @@ def summa_bytes_moved(m: int, n: int, k: int, mesh_shape: tuple[int, int],
                       num_moduli: int, k_panel: int | None = None,
                       bcast: str = "ring",
                       backend: str = tables.Backend.INT8,
-                      fastmode: bool | str = True) -> int:
+                      fastmode: bool | str = True,
+                      complex_lanes: bool = False) -> int:
     """Total collective plane bytes CROSSING LINKS per device (send side) for
     one summa_gemm -- the ICI traffic model that motivates quantize-before-
     communicate and the ring broadcast:
@@ -521,23 +777,28 @@ def summa_bytes_moved(m: int, n: int, k: int, mesh_shape: tuple[int, int],
     excluded; ACCURATE mode (fastmode=False) additionally all-gathers one
     full ub plane per operand for the estimation GEMM (int8/bf16 -- the
     same ring cost as one of the nu residue planes), which IS counted.
+
+    complex_lanes=True models summa_gemm_planar: 3x the residue plane and
+    panel bytes (the 3M lane sets) and 3x the accurate-mode estimation
+    lanes.
     """
     X, Y = mesh_shape
     nu = num_moduli
+    lanes = 3 if complex_lanes else 1
     plane_b = 6 if backend == tables.Backend.FP8 else 1
     m_l, n_l = m // X, n // Y
     accu = 0
     if fastmode is False:
         ub_b = 2 if backend == tables.Backend.FP8 else 1   # bf16 | int8
-        accu = int((Y - 1) / Y * m_l * k * ub_b
-                   + (X - 1) / X * k * n_l * ub_b)
+        accu = int(lanes * ((Y - 1) / Y * m_l * k * ub_b
+                            + (X - 1) / X * k * n_l * ub_b))
     if k_panel is None:
-        ag_a = (Y - 1) / Y * nu * m_l * k * plane_b
-        ag_b = (X - 1) / X * nu * k * n_l * plane_b
+        ag_a = (Y - 1) / Y * lanes * nu * m_l * k * plane_b
+        ag_b = (X - 1) / X * lanes * nu * k * n_l * plane_b
         return int(ag_a + ag_b) + accu
     steps = k // k_panel
-    pan_a = nu * m_l * k_panel * plane_b
-    pan_b = nu * k_panel * n_l * plane_b
+    pan_a = lanes * nu * m_l * k_panel * plane_b
+    pan_b = lanes * nu * k_panel * n_l * plane_b
     fac = 2.0 if bcast == "psum" else 1.0
     return int(steps * fac
                * ((Y - 1) / Y * pan_a + (X - 1) / X * pan_b)) + accu
