@@ -7,7 +7,7 @@ JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md
 from . import compare, tables
 from .accuracy_model import choose_moduli, modeled_max_rel_err
 from .config import GemmConfig, env_config
-from .complex_gemm import gemm_planar
+from .complex_gemm import gemm_planar, herk, herk_planar
 from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
                    gemm_with_phases, matmul, precompute, syrk, work_bytes)
 from .hook import emulate, install, refresh, uninstall
@@ -22,6 +22,7 @@ __version__ = "0.2.0"
 __all__ = [
     "gemm", "matmul", "syrk", "gemm_batched", "gemm_quantized", "precompute",
     "QuantizedOperand", "work_bytes", "gemm_with_phases", "gemm_planar",
+    "herk", "herk_planar",
     "Backend", "GemmConfig", "env_config", "tables", "compare",
     "choose_moduli", "modeled_max_rel_err",
     "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "potrs", "posv",
