@@ -50,6 +50,16 @@ def _check_real_2d(x, name):
         raise NotImplementedError("solvers are real-only (f32/f64)")
 
 
+def _check_2d(x, name):
+    """Complex-capable entries (the skeletons are dtype-generic: every
+    O(n^3) update routes through gemm, which dispatches the 3M complex
+    pipeline). On accelerators whose runtimes lack complex dtypes (the
+    tested v5e PJRT stack) complex solvers run on CPU; the planar entry
+    points cover on-device complex GEMM itself."""
+    if x.ndim != 2:
+        raise ValueError(f"{name} must be 2-D, got ndim={x.ndim}")
+
+
 def _blocks(n: int, block: int):
     """Static block partition [0, b, 2b, ..., n] (last block ragged)."""
     cuts = list(range(0, n, block)) + [n]
@@ -174,12 +184,85 @@ def _trmm_lower_left(t, b, *, unit_diag, num_moduli, fastmode, backend,
     return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
 
+def _panel_lu_unblocked(a):
+    """Unblocked partial-pivot LU of an (m, b) panel in plain lax ops
+    (fori_loop + argmax + masked rank-1 updates). Matches LAPACK's
+    first-maximal pivot choice; returns (packed LU, perm) with
+    (PA)[i] == A[perm[i]]."""
+    m, b = a.shape
+    rows = jnp.arange(m)
+    cols = jnp.arange(b)
+
+    def body(j, carry):
+        a, perm = carry
+        col = jnp.abs(a[:, j])
+        p = jnp.argmax(jnp.where(rows >= j, col, -jnp.inf))
+        rj, rp = a[j], a[p]
+        a = a.at[j].set(rp).at[p].set(rj)
+        qj, qp = perm[j], perm[p]
+        perm = perm.at[j].set(qp).at[p].set(qj)
+        piv = a[j, j]
+        safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)  # zero column
+        below = rows > j
+        l = jnp.where(below, a[:, j] / safe, jnp.zeros_like(a[:, j]))
+        a = a.at[:, j].set(jnp.where(below, l, a[:, j]))
+        urow = jnp.where(cols > j, a[j], jnp.zeros_like(a[j]))
+        return a - l[:, None] * urow[None, :], perm
+
+    a, perm = jax.lax.fori_loop(
+        0, min(m, b), body, (a, jnp.arange(m, dtype=jnp.int32)))
+    return a, perm
+
+
+def _panel_lu(a, num_moduli, fastmode, backend):
+    """Pivoted LU of an (m, b) panel, m >= b.
+
+    Uses the native LuDecomposition where the backend implements the dtype
+    (CPU: all dtypes; TPU: f32/c64 only -- the tested stack aborts compiles
+    with 'Only F32 and C64 types are implemented in LuDecomposition' for
+    f64). Otherwise a recursive right-looking factorization: the O(m b^2)
+    bulk rides the emulated GEMM + the (expander-backed) native triangular
+    solve, bottoming out in the unblocked masked-lax kernel."""
+    if jax.default_backend() == "cpu" or a.dtype == jnp.float32:
+        lu_, _, perm = jax.lax.linalg.lu(a)
+        return lu_, perm
+    return _panel_lu_rec(a, num_moduli, fastmode, backend)
+
+
+def _panel_lu_rec(a, num_moduli, fastmode, backend):
+    b = a.shape[1]
+    if b <= 64:
+        return _panel_lu_unblocked(a)
+    b1 = b // 2
+    lu1, perm1 = _panel_lu_rec(a[:, :b1], num_moduli, fastmode, backend)
+    rest = a[:, b1:].take(perm1, axis=0)
+    u12 = _tri_solve_native(lu1[:b1], rest[:b1], unit_diag=True)
+    a22 = _schur_update(lu1[b1:, :b1], u12, rest[b1:], mesh=None,
+                        num_moduli=num_moduli, fastmode=fastmode,
+                        backend=backend)
+    lu2, perm2 = _panel_lu_rec(a22, num_moduli, fastmode, backend)
+    lower = jnp.concatenate([lu1[b1:, :b1].take(perm2, axis=0), lu2], axis=1)
+    out = jnp.concatenate(
+        [jnp.concatenate([lu1[:b1], u12], axis=1), lower], axis=0)
+    perm = jnp.concatenate([perm1[:b1], perm1[b1:].take(perm2)])
+    return out, perm
+
+
 def _canon_tri(a, lower, trans_a):
-    """Materialize op(A) and report whether it is lower-triangular."""
-    trans_a = trans_a if isinstance(trans_a, bool) else (
-        str(trans_a).upper() in ("T", "C"))
-    t = a.T if trans_a else a
-    return t, (lower != trans_a)
+    """Materialize op(A) and report whether it is lower-triangular.
+    op 'C' (conjugate transpose) conjugates complex operands; on real ones
+    it is identical to 'T'."""
+    if isinstance(trans_a, bool):
+        t_flag, conj = trans_a, False
+    else:
+        s = str(trans_a).upper()
+        if s not in ("N", "T", "C"):
+            raise ValueError(f"bad op {trans_a!r}")
+        t_flag, conj = s in ("T", "C"), s == "C"
+    t = a.T if t_flag else a
+    if conj and jnp.issubdtype(a.dtype, jnp.complexfloating):
+        t = t.conj()
+    return t, (lower != t_flag)
 
 
 def _flip2(x):
@@ -208,8 +291,8 @@ def trsm(a: jax.Array, b: jax.Array, *, side: str = "left",
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
-    _check_real_2d(a, "A")
-    _check_real_2d(b, "B")
+    _check_2d(a, "A")
+    _check_2d(b, "B")
     if a.dtype != b.dtype:
         raise TypeError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
     if a.shape[0] != a.shape[1]:
@@ -254,8 +337,8 @@ def trmm(a: jax.Array, b: jax.Array, *, side: str = "left",
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
-    _check_real_2d(a, "A")
-    _check_real_2d(b, "B")
+    _check_2d(a, "A")
+    _check_2d(b, "B")
     if a.dtype != b.dtype:
         raise TypeError(f"dtype mismatch: {a.dtype} vs {b.dtype}")
     if a.shape[0] != a.shape[1]:
@@ -288,9 +371,12 @@ def trmm(a: jax.Array, b: jax.Array, *, side: str = "left",
 def potrf(a: jax.Array, *, lower: bool = True, num_moduli: int = 8,
           fastmode="robust", backend: str = tables.Backend.INT8,
           block: Optional[int] = None, mesh=None) -> jax.Array:
-    """Blocked Cholesky factorization A = L @ L.T of an SPD matrix.
+    """Blocked Cholesky factorization A = L @ L^H of an SPD/HPD matrix.
 
-    Returns L lower-triangular (upper R = L.T when lower=False; A = R.T R).
+    Returns L lower-triangular (upper R = L^H when lower=False; A = R^H R).
+    Complex (Hermitian positive-definite) inputs take the same blocked path
+    with conjugated panel transposes (zpotrf analog); conj is a no-op on
+    real operands.
     With `mesh` (a 2-D jax.sharding.Mesh), every block-column update GEMM --
     the O(n^3) bulk -- runs distributed through :func:`summa_gemm` (int8
     residue planes over ICI); results are bit-identical across mesh shapes.
@@ -303,14 +389,17 @@ def potrf(a: jax.Array, *, lower: bool = True, num_moduli: int = 8,
     LAPACK dpotrf analog on the emulated engine.
     """
     a = jnp.asarray(a)
-    _check_real_2d(a, "A")
+    _check_2d(a, "A")
     n = a.shape[0]
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"A must be square, got {a.shape}")
+    is_cplx = jnp.issubdtype(a.dtype, jnp.complexfloating)
     if not lower:
         # dpotrf uplo='U' reads ONLY the upper triangle; the factorization
         # below reads only the lower, so run it on A^T (a no-op for a full
-        # symmetric input, and correct for upper-triangle-only storage)
+        # symmetric input, and correct for upper-triangle-only storage).
+        # Complex: chol_lower(A^T) = conj(L), and the final .T returns
+        # conj(L).T = L^H = R with A = R^H R -- the zpotrf uplo='U' contract.
         a = a.T
     blk = block or _default_block(n)
     _check_mesh_blocking(mesh, n, blk, "potrf")
@@ -323,22 +412,27 @@ def potrf(a: jax.Array, *, lower: bool = True, num_moduli: int = 8,
             left = jnp.concatenate(
                 [c[lo - s:] for (s, c) in cols], axis=1) if len(cols) > 1 \
                 else cols[0][1][lo - cols[0][0]:]
-            # rows lo:hi of L(:, :lo) for the transposed side
+            # rows lo:hi of L(:, :lo) for the conj-transposed side
             top = left[:hi - lo]
-            blk_col = _schur_update(left, top.T, blk_col, mesh=mesh,
+            blk_col = _schur_update(left, top.conj().T if is_cplx else top.T,
+                                    blk_col, mesh=mesh,
                                     num_moduli=num_moduli, fastmode=fastmode,
                                     backend=backend)
+        strict = jnp.tril(blk_col[:hi - lo], -1)
         diag = jax.lax.linalg.cholesky(
             jnp.tril(blk_col[:hi - lo]) +
-            jnp.tril(blk_col[:hi - lo], -1).T)
+            (strict.conj().T if is_cplx else strict.T))
         if hi < n:
-            # L21 = A21 @ L11^{-T}: right-sided lower-transposed solve via
-            # the ONE lower-left substitution path (X L11^T = B  <=>
-            # L11 X^T = B^T, already lower => no flips, no extra emulation)
+            # L21 = A21 @ L11^{-H}: right-sided lower-conj-transposed solve
+            # via the ONE lower-left substitution path (X L11^H = B  <=>
+            # L11 X^H = B^H, already lower => no flips, no extra emulation)
+            a21h = (blk_col[hi - lo:].conj().T if is_cplx
+                    else blk_col[hi - lo:].T)
             l21 = _trsm_lower_left(
-                diag, blk_col[hi - lo:].T, unit_diag=False,
+                diag, a21h, unit_diag=False,
                 num_moduli=num_moduli, fastmode=fastmode, backend=backend,
-                block=blk).T
+                block=blk)
+            l21 = l21.conj().T if is_cplx else l21.T
             colblk = jnp.concatenate([jnp.tril(diag), l21], axis=0)
         else:
             colblk = jnp.tril(diag)
@@ -370,7 +464,7 @@ def getrf(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     Panel LU and the O(n^2 * block) substitutions stay local.
     """
     a = jnp.asarray(a)
-    _check_real_2d(a, "A")
+    _check_2d(a, "A")
     m, n = a.shape
     kmin = min(m, n)
     blk = block or _default_block(kmin)
@@ -379,9 +473,11 @@ def getrf(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     perm = jnp.arange(m, dtype=jnp.int32)
     for lo in range(0, kmin, blk):
         hi = min(lo + blk, kmin)
-        # native pivoted LU of the current panel (rows lo:m, cols lo:hi)
+        # pivoted LU of the current panel (rows lo:m, cols lo:hi); native
+        # where the backend supports the dtype, emulated-GEMM recursion
+        # where it does not (TPU f64 -- see _panel_lu)
         panel = a[lo:, lo:hi]
-        p_lu, _, p_perm = jax.lax.linalg.lu(panel)
+        p_lu, p_perm = _panel_lu(panel, num_moduli, fastmode, backend)
         # apply the panel's row permutation to the WHOLE trailing rows
         # (already-factored L columns < lo AND unfactored columns >= hi),
         # then drop the factored panel in
@@ -438,7 +534,7 @@ def inv(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     (n columns of RHS satisfy the mesh divisibility checks whenever the
     factorization's do)."""
     a = jnp.asarray(a)
-    _check_real_2d(a, "A")
+    _check_2d(a, "A")
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"inv needs a square matrix, got {a.shape}")
     lu, perm = getrf(a, num_moduli=num_moduli, fastmode=fastmode,
@@ -494,8 +590,8 @@ def potrs(chol: jax.Array, b: jax.Array, *, lower: bool = True,
           backend: str = tables.Backend.INT8,
           block: Optional[int] = None, mesh=None) -> jax.Array:
     """Solve A @ X = B from potrf's Cholesky factor (LAPACK dpotrs analog):
-    two emulated-GEMM triangular solves, L y = B then L^T x = y (or the
-    upper-factor pair when ``lower=False``).
+    two emulated-GEMM triangular solves, L y = B then L^H x = y (or the
+    upper-factor pair when ``lower=False``; zpotrs on complex factors).
 
     `mesh` distributes the substitution update GEMMs like :func:`trsm`
     (needs a 2-D B whose column count divides mesh.y -- vector RHS local).
@@ -506,9 +602,13 @@ def potrs(chol: jax.Array, b: jax.Array, *, lower: bool = True,
     if squeeze:
         b = b[:, None]
         mesh = None  # vector RHS stays local (see lu_solve)
-    y = trsm(chol, b, lower=lower, trans_a=not lower, num_moduli=num_moduli,
+    # Hermitian factors solve against the CONJUGATE transpose; on real
+    # operands 'C' degrades to plain T inside _canon_tri
+    y = trsm(chol, b, lower=lower, trans_a=(False if lower else "C"),
+             num_moduli=num_moduli,
              fastmode=fastmode, backend=backend, block=block, mesh=mesh)
-    x = trsm(chol, y, lower=lower, trans_a=lower, num_moduli=num_moduli,
+    x = trsm(chol, y, lower=lower, trans_a=("C" if lower else False),
+             num_moduli=num_moduli,
              fastmode=fastmode, backend=backend, block=block, mesh=mesh)
     return x[:, 0] if squeeze else x
 
@@ -529,7 +629,7 @@ def posv(a: jax.Array, b: jax.Array, *, lower: bool = True,
     """
     a = jnp.asarray(a)
     b = jnp.asarray(b)
-    _check_real_2d(a, "A")
+    _check_2d(a, "A")
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"posv needs a square matrix, got {a.shape}")
     if refine_steps and residual_moduli is None:

@@ -11,6 +11,8 @@ import pytest
 
 from gemmul8_tpu import solvers
 
+pytestmark = pytest.mark.slow  # full-lane family; default lane: -m 'not slow'
+
 
 def _rng(seed):
     return np.random.default_rng(seed)
@@ -204,10 +206,8 @@ def test_trsm_bit_reproducible():
     assert np.array_equal(x1, x2)
 
 
-def test_solvers_reject_complex_and_bad_shapes():
-    a = jnp.ones((4, 4), jnp.complex64)
-    with pytest.raises(NotImplementedError):
-        solvers.trsm(a, jnp.ones((4, 2), jnp.complex64))
+def test_solvers_reject_bad_shapes():
+    # complex operands are SUPPORTED since round 4 (tests/test_solvers_complex.py)
     with pytest.raises(ValueError):
         solvers.trsm(jnp.ones((4, 3)), jnp.ones((4, 2)))
     with pytest.raises(ValueError):
