@@ -4,6 +4,7 @@ all op pairs, nontrivial alpha/beta, fast+accurate, vs the native product.
 Criterion: relative error far below 1 (the reference flags rel-err > 1 as
 catastrophic; at our num_moduli the emulation is at least native-grade)."""
 import itertools
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,13 @@ import pytest
 import gemmul8_tpu as g8
 
 RNG = np.random.default_rng(2024)
+
+# GEMMUL8_TEST_EXHAUSTIVE=1 enables the reference's FULL combinatorial
+# product (debug/test.cu:14-27, 247-299): all op pairs x 5 (alpha, beta)
+# incl. complex alpha x {fast, accurate, robust} x a num_moduli sweep at
+# m=n=k in {33, 40, 47} -- hours of XLA CPU compiles, run nightly/once per
+# round; the default lane keeps the rotated subset below.
+EXHAUSTIVE = os.environ.get("GEMMUL8_TEST_EXHAUSTIVE", "") == "1"
 
 
 def _mk(m, n, dtype):
@@ -58,3 +66,43 @@ def test_odd_shapes_ops_alphabeta(dtype, nu, fastmode):
                            @ np.abs(_op(np.abs(b), tb)) + 1e-30)
         rel = np.max(np.abs(got - want) / denom)
         assert rel < 1e-4, (dtype, nu, fastmode, (m, k, n), ta, tb, rel)
+
+
+def _check_case(dtype, nu, fastmode, m, k, n, ta, tb, alpha, beta):
+    is_cplx = np.issubdtype(dtype, np.complexfloating)
+    a_shape = (k, m) if ta != "N" else (m, k)
+    b_shape = (n, k) if tb != "N" else (k, n)
+    a, b = _mk(*a_shape, dtype), _mk(*b_shape, dtype)
+    c0 = _mk(m, n, dtype)
+    got = np.asarray(g8.gemm(jnp.asarray(a), jnp.asarray(b), num_moduli=nu,
+                             fastmode=fastmode, alpha=alpha, beta=beta,
+                             c=jnp.asarray(c0), trans_a=ta, trans_b=tb))
+    want = alpha * (_op(a, ta).astype(np.complex128 if is_cplx else np.float64)
+                    @ _op(b, tb)) + beta * c0
+    denom = np.maximum(np.abs(want), np.abs(alpha) * np.abs(_op(np.abs(a), ta))
+                       @ np.abs(_op(np.abs(b), tb)) + np.abs(beta * c0) + 1e-30)
+    rel = np.max(np.abs(got - want) / denom)
+    assert rel < 1e-4, (dtype, nu, fastmode, (m, k, n), ta, tb, alpha, beta, rel)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not EXHAUSTIVE, reason="set GEMMUL8_TEST_EXHAUSTIVE=1 "
+                    "for the reference's full debug product")
+@pytest.mark.parametrize("dtype,nus", [
+    (np.float32, (3, 8, 12)), (np.float64, (9, 14, 20)),
+    (np.complex64, (3, 8, 13)), (np.complex128, (9, 14, 20))])
+@pytest.mark.parametrize("fastmode", [True, False, "robust"])
+def test_exhaustive_debug_product(dtype, nus, fastmode):
+    """The reference's full correctness product (debug/test.cu:247-299):
+    every op pair x every (alpha, beta) class (incl. complex alpha) x the
+    num_moduli sweep at three odd cube sizes. No index-rotation subsampling:
+    a wrong-result bug confined to a single (op, alpha, beta, mode) cell
+    cannot slip through."""
+    is_cplx = np.issubdtype(dtype, np.complexfloating)
+    ops = ["N", "T", "C"] if is_cplx else ["N", "T"]
+    ab_pairs = [(1.0, 0.0), (1.0, 1.0), (-1.0, 1.0), (-1.5, 1.2), (0.5, -2.0)]
+    if is_cplx:
+        ab_pairs.append((1.5 - 0.5j, -0.25 + 1.0j))
+    for size, (ta, tb), (alpha, beta), nu in itertools.product(
+            (33, 40, 47), itertools.product(ops, ops), ab_pairs, nus):
+        _check_case(dtype, nu, fastmode, size, size, size, ta, tb, alpha, beta)

@@ -13,6 +13,8 @@ import pytest
 import gemmul8_tpu as g8
 from gemmul8_tpu import eig as eigmod
 
+pytestmark = pytest.mark.slow  # full-lane family; default lane: -m 'not slow'
+
 
 def _rng(seed):
     return np.random.default_rng(seed)

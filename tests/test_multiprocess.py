@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-lane family; default lane: -m 'not slow'
+
 _WORKER = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
 
 

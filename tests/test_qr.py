@@ -11,6 +11,8 @@ import pytest
 
 import importlib
 
+pytestmark = pytest.mark.slow  # full-lane family; default lane: -m 'not slow'
+
 # the package re-exports the qr() FUNCTION under the same name as the
 # submodule, so fetch the module through the import system
 qrmod = importlib.import_module("gemmul8_tpu.qr")
