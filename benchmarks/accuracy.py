@@ -22,6 +22,7 @@ def main():
     ap.add_argument("--dtype", default="f64", choices=["f32", "f64", "c64", "c128"])
     ap.add_argument("--kmax", type=int, default=16384)
     ap.add_argument("--fast", type=int, default=1)
+    ap.add_argument("--backend", default="INT8", choices=["INT8", "FP8"])
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out", default=None)
     ap.add_argument("--phis", default=None,
@@ -63,7 +64,8 @@ def main():
 
     dev = jax.devices()[0].device_kind.replace(" ", "")
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
-    out = args.out or (f"oz2_results_INT8_{args.dtype}_accuracy_{dev}_{stamp}.csv")
+    out = args.out or (
+        f"oz2_results_{args.backend}_{args.dtype}_accuracy_{dev}_{stamp}.csv")
 
     def gen(rng, rows, cols, phi):
         def real(seed_rng):
@@ -99,13 +101,14 @@ def main():
     def emulated_c(a_np, b_np, nu, fm):
         if not cplx_planar:
             return np.asarray(g8.gemm(jnp.asarray(a_np), jnp.asarray(b_np),
-                                      num_moduli=nu, fastmode=fm))
+                                      num_moduli=nu, fastmode=fm,
+                                      backend=args.backend))
         cr, ci = g8.gemm_planar(
             jnp.asarray(np.ascontiguousarray(a_np.real)),
             jnp.asarray(np.ascontiguousarray(a_np.imag)),
             jnp.asarray(np.ascontiguousarray(b_np.real)),
             jnp.asarray(np.ascontiguousarray(b_np.imag)),
-            num_moduli=nu, fastmode=fm)
+            num_moduli=nu, fastmode=fm, backend=args.backend)
         return (np.asarray(cr) + 1j * np.asarray(ci)).astype(np_dtype)
 
     def roundtrip(x):
@@ -160,15 +163,19 @@ def main():
             for nu in nu_range:
                 c = emulated_c(a, b, nu, bool(args.fast))
                 emax, emed = errs(c, ref)
-                rows_out.append([k, phi, f"oz2-{'fast' if args.fast else 'accu'}",
-                                 nu, emax, emed])
+                tag = "fast" if args.fast else "accu"
+                if args.backend != "INT8":
+                    tag += "-" + args.backend.lower()
+                rows_out.append([k, phi, f"oz2-{tag}", nu, emax, emed])
                 print(f"k={k} phi={phi} nu={nu}: {emax:.3e}", file=sys.stderr)
                 if args.fast and not args.no_robust:
                     # the scale-invariant fast variant next to the
                     # reference-formula row
                     cr = emulated_c(a, b, nu, "robust")
                     rmax, rmed = errs(cr, ref)
-                    rows_out.append([k, phi, "oz2-robust", nu, rmax, rmed])
+                    rtag = "oz2-robust" if args.backend == "INT8" \
+                        else "oz2-robust-" + args.backend.lower()
+                    rows_out.append([k, phi, rtag, nu, rmax, rmed])
 
     with open(out, "w", newline="") as f:
         w = csv.writer(f)

@@ -39,13 +39,22 @@ def main():
     a8, b8 = gen()
     a8.block_until_ready(); b8.block_until_ready()
 
-    # correctness first, tiny shapes (int4 semantics through dot_general)
+    # correctness first, tiny shapes (int4 semantics through dot_general).
+    # Everything inside ONE jit: the tunneled backend's EAGER dispatch of
+    # int4 casts recurses into its remote-compile jit (round-3 queue run
+    # died with 'Recursively calling jit' here).
     try:
         sa = np.arange(-8, 8, dtype=np.int8).reshape(4, 4)
         sb = (np.arange(16, dtype=np.int8) % 15 - 7).reshape(4, 4)
-        got = np.asarray(jax.lax.dot_general(
-            jnp.asarray(sa).astype(jnp.int4), jnp.asarray(sb).astype(jnp.int4),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32))
+
+        @jax.jit
+        def small_dot():
+            a = jnp.asarray(sa).astype(jnp.int4)
+            b = jnp.asarray(sb).astype(jnp.int4)
+            return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.int32)
+
+        got = np.asarray(small_dot())
         want = sa.astype(np.int32) @ sb.astype(np.int32)
         print("int4 small-dot correct:", np.array_equal(got, want), flush=True)
     except Exception as e:
@@ -78,6 +87,13 @@ def main():
     except Exception as e:
         print("int4 operand build FAIL:", type(e).__name__, str(e)[:160],
               flush=True)
+        # fallback: cast fused INTO the timed program (materializing int4
+        # arrays as jit outputs can fail on the tunneled transport); the
+        # cast is VPU-cheap next to the dot and is what a 4-bit-limb
+        # encoder would emit inline anyway
+        report("int4 x int4 (cast fused)",
+               jax.jit(lambda x, y: dot(x.astype(jnp.int4),
+                                        y.astype(jnp.int4))), a8, b8)
 
 
 if __name__ == "__main__":
