@@ -1,37 +1,46 @@
-"""Calibrated accuracy model and num_moduli chooser.
+"""Calibrated accuracy model and (num_moduli, fastmode) chooser.
 
 The reference exposes ``num_moduli`` as a raw dial and leaves picking it to
 the user (include/gemmul8.hpp:30 documents only the valid range; guidance
 lives in the paper: ~14-16 moduli for FP64-grade DGEMM). This module adds
-what the reference lacks: a measured model of the fast-mode max relative
-error as a function of ``num_moduli`` and an inverse -- "give me the cheapest
-setting that hits this accuracy".
+what the reference lacks: a measured model of the max relative error as a
+function of ``num_moduli`` AND the shift mode, plus an inverse -- "give me
+the cheapest setting that hits this accuracy".
 
 Model
 -----
-For standard-normal-ish data (the phi = -1 rows of the reference accuracy
-protocol, testing/test_accuracy.hpp:20-30)::
+For protocol data (testing/make_matrix.hpp:73-79: phi < 0 standard normal,
+else (U-0.5) * e^(N*phi))::
 
-    log2(max_rel_err)  ~=  C  -  log2(P_nu) / 2  +  spread_bits
+    log2(max_rel_err)  ~=  C[mode]  +  s[mode] * spread_bits  -  log2(P_nu)/2
 
 where ``P_nu`` is the product of the first ``nu`` moduli (each INT8 modulus
-contributes ~8 bits, each FP8 modulus ~9-10) and ``C`` is an empirical
-constant. The 1/2 is structural: the integer budget log2(P) is split evenly
-between the two operands' quantizations (NUMERICS.md section 2), so each
-extra modulus buys ~4 bits of result accuracy on the INT8 backend.
+contributes ~8 bits, each FP8 modulus ~9-10), ``C[mode]`` is the calibrated
+worst-case intercept and ``spread_bits`` measures the data's exponent
+spread (protocol mapping: ~5.5 bits per unit of phi; 0 for normal data).
+The 1/2 is structural: the integer budget log2(P) splits evenly between the
+two operands' quantizations (NUMERICS.md section 2).
 
-Calibration: C = 22.4 .. 24.5 across k in [2^10, 2^13], nu in [6, 18], both
-backends, on the committed CPU sweeps (benchmarks/results/
-oz2_results_INT8_f64_accuracy_cpu_*.csv phi=-1 rows plus an FP8 spot sweep);
-stable to +-1.5 bits until the output-dtype roundoff floor. We use the worst
-observed C (24.5) plus a default 3-bit safety margin.
+Calibration (committed CSVs, benchmarks/results/):
+  * fast (the reference formula):   C = 24.7, s = 1.2   -- phi <~ 1.5 only;
+    at phi >= 4 the formula's probabilistic slack collapses (measured
+    intercepts blow past 50-78: oz2_calib_INT8_f64_fastrobust_cpu_r4.csv,
+    phi=4 rows) so the model declares fast INVALID past
+    ``FAST_SPREAD_LIMIT`` instead of extrapolating.
+  * robust (scale-invariant fast):  C = 24.0, s = 0.65  -- bounded growth
+    at any measured spread (phi=4 worst intercept 36.2 vs modeled 37.8).
+  * accurate (two-phase estimation): C = 21.0, s = 0.9  -- best base
+    intercept; its max-rel-err still grows with spread because spread data
+    puts small-|c| elements under a row/col-scaled quantization grid (an
+    output-conditioning effect no shift choice removes).
 
-``spread_bits`` widens the budget for data with a large exponent spread: the
-protocol's phi = 2 sweep (elements (U-0.5)*e^(2N)) sits ~11 bits above the
-phi = -1 rows in fast mode. For strongly spread data prefer
-``fastmode="robust"`` (scale-invariant shifts, NUMERICS.md section 3b) or
-accurate mode, whose errors track the same model without the blow-up the
-reference fast formula suffers at phi >= 4.
+Sources: round-4 sweeps oz2_calib_{INT8,FP8}_f64_{fastrobust,accu}_cpu_r4.csv
+and oz2_calib_INT8_f32_accu_cpu_r4.csv (phi in {-1, 0, 2, 4}, k in
+{1024, 4096}), plus the round-2 fast/robust sweeps
+(oz2_results_INT8_{f32,f64}_accuracy_cpu_round2*.csv, phi in
+{-1, 0, 0.5, 1, 2, 4}, k to 2^14). The constants are the worst observed
+intercept per mode across BOTH backends; tests/test_accuracy_model.py
+re-validates the envelope against every committed CSV row.
 
 The model is advisory: it predicts the protocol's max elementwise relative
 error on random data, not a rigorous bound for adversarial inputs.
@@ -39,14 +48,30 @@ error on random data, not a rigorous bound for adversarial inputs.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional, Union
 
 import numpy as np
 
 from . import tables
 
-#: worst empirical intercept observed in calibration (see module docstring)
-CALIBRATED_C = 24.5
+#: calibrated worst-case intercepts per shift mode (see module docstring)
+CALIBRATED_C = {"fast": 24.7, "robust": 24.0, "accu": 21.0}
+
+#: spread sensitivity per mode: modeled penalty = s * spread_bits
+#: (fast's 1.2 is pinned by the f32 phi=2 sweep rows -- the formula's
+#: degradation is superlinear in spread even inside its valid domain)
+SPREAD_FACTOR = {"fast": 1.2, "robust": 0.65, "accu": 0.9}
+
+#: the reference fast formula's calibrated domain: phi <~ 1.5 (~8 spread
+#: bits). Beyond, measured errors leave the linear model entirely -- f32 at
+#: phi=2 lands 13-33x WORSE than native f32 (round-2 sweep, nu=13 row err
+#: 0.13), and by phi=4 the f64 intercepts blow past 50-78. The model
+#: refuses rather than extrapolating; the chooser switches to robust.
+FAST_SPREAD_LIMIT = 8.0
+
+#: protocol mapping from the generator's phi to spread_bits (e^(N*phi) with
+#: |N| <~ 3.5 spans ~ phi * 5.5 bits of exponent around the median)
+BITS_PER_PHI = 5.5
 
 #: modeled native-GEMM max relative error per output dtype on protocol data:
 #: f64 ~ 2^-36 (CPU f64 sweeps, k-independent: small-denominator entries
@@ -58,9 +83,28 @@ NATIVE_ERR_BITS = {"float64": -36.0, "float32": -10.0,
 #: the emulation's output-dtype floor sits ~5-6.5 bits above eps on protocol
 #: data (rounding of the inverse-scaled result is amplified on entries whose
 #: |c| is small relative to their row/col scale): measured f32 floor 2^-18.4
-#: (eps 2^-23.25), f64 floor 2^-45.9 .. -48.9 (eps 2^-52.4). 6 bits is the
-#: conservative allowance.
-FLOOR_AMPLIFICATION_BITS = 6.0
+#: (eps 2^-23.25), f64 floor 2^-45.9 .. -48.9 (eps 2^-52.4). 6.6 bits covers
+#: the worst committed row (accu nu=19 at 2^-45.9).
+FLOOR_AMPLIFICATION_BITS = 6.6
+
+
+class ModuliChoice(NamedTuple):
+    """choose_moduli's answer: the num_moduli dial AND the fastmode argument
+    to pass to gemm()/syrk()/summa_gemm(), plus the modeled error."""
+    num_moduli: int
+    fastmode: Union[bool, str]
+    modeled_rel_err: float
+
+
+def _mode_key(fastmode) -> str:
+    if fastmode is True:
+        return "fast"
+    if fastmode == "robust":
+        return "robust"
+    if fastmode is False:
+        return "accu"
+    raise ValueError(f"fastmode must be True, False or 'robust', "
+                     f"got {fastmode!r}")
 
 
 def log2_P(num_moduli: int, backend: str = tables.Backend.INT8) -> float:
@@ -74,27 +118,44 @@ def log2_P(num_moduli: int, backend: str = tables.Backend.INT8) -> float:
     return sum(math.log2(p) for p in mods[:num_moduli])
 
 
+def _modeled_bits(num_moduli, backend, spread_bits, mode):
+    c = CALIBRATED_C[mode] + SPREAD_FACTOR[mode] * spread_bits
+    if mode == "fast" and spread_bits > FAST_SPREAD_LIMIT:
+        return math.inf          # outside the fast formula's calibrated domain
+    return c - log2_P(num_moduli, backend) / 2.0
+
+
 def modeled_max_rel_err(num_moduli: int, *,
                         backend: str = tables.Backend.INT8,
                         spread_bits: float = 0.0,
-                        out_dtype=np.float64) -> float:
-    """Modeled fast-mode max elementwise relative error at ``num_moduli``.
+                        out_dtype=np.float64,
+                        fastmode: Union[bool, str] = True) -> float:
+    """Modeled max elementwise relative error at ``num_moduli``/``fastmode``.
 
     Floored at the output dtype's roundoff (the emulation cannot beat the
-    precision of the dtype it returns).
+    precision of the dtype it returns); ``inf`` for fast mode outside its
+    calibrated spread domain (use robust or accurate there).
     """
-    bits = CALIBRATED_C - log2_P(num_moduli, backend) / 2.0 + spread_bits
-    floor_bits = (math.log2(np.finfo(np.dtype(out_dtype)).eps)
-                  + FLOOR_AMPLIFICATION_BITS)
-    return 2.0 ** max(bits, floor_bits)
+    bits = _modeled_bits(num_moduli, backend, spread_bits,
+                         _mode_key(fastmode))
+    real = {"complex64": "float32",
+            "complex128": "float64"}.get(np.dtype(out_dtype).name,
+                                         np.dtype(out_dtype).name)
+    # spread data amplifies the output-rounding floor too: small-|c|
+    # entries sit under a row/col-scaled grid, so the floor tracks the
+    # exponent spread bit-for-bit (calibration: robust f64 nu=20 rows at
+    # phi=0.5 sit 2.5 bits above the flat floor)
+    floor_bits = (math.log2(np.finfo(np.dtype(real)).eps)
+                  + FLOOR_AMPLIFICATION_BITS + spread_bits)
+    return 2.0 ** max(bits, floor_bits) if bits != math.inf else math.inf
 
 
 def choose_moduli(target_rel_err: Optional[float] = None, *,
                   dtype=np.float64,
                   backend: str = tables.Backend.INT8,
                   spread_bits: float = 0.0,
-                  margin_bits: float = 3.0) -> int:
-    """Smallest ``num_moduli`` whose modeled error beats ``target_rel_err``.
+                  margin_bits: float = 3.0) -> ModuliChoice:
+    """Cheapest (num_moduli, fastmode) whose modeled error beats the target.
 
     Args:
       target_rel_err: desired max elementwise relative error. ``None`` means
@@ -105,16 +166,21 @@ def choose_moduli(target_rel_err: Optional[float] = None, *,
         (tables.VALID_RANGE, reference include/gemmul8.hpp:30) and the
         roundoff floor.
       backend: "INT8" (default) or "FP8".
-      spread_bits: extra bits demanded for data with wide exponent spread
-        (~11 for the protocol's phi = 2; 0 for normal-ish data). For heavy
-        spread use fastmode="robust" instead of inflating this.
+      spread_bits: the data's exponent spread (protocol mapping:
+        ~5.5 * phi; 0 for normal-ish data).
       margin_bits: safety margin on top of the calibrated model (default 3).
 
+    Returns:
+      ModuliChoice(num_moduli, fastmode, modeled_rel_err). The chooser
+      prefers the cheapest num_moduli; between fast and robust (identical
+      runtime cost) it takes whichever models fewer moduli, breaking ties
+      toward fast (reference parity). Accurate mode costs an extra
+      estimation GEMM and is never auto-chosen; pass fastmode=False
+      yourself when you need its intercept.
+
     Raises:
-      ValueError: if no valid ``num_moduli`` reaches the target; the message
-        reports the best achievable modeled error (consider accurate mode,
-        the FP8 backend's wider moduli, or a float128-style post-refinement
-        outside this library's scope).
+      ValueError: if no valid setting reaches the target; the message
+        reports the best achievable modeled error.
     """
     dname = np.dtype(dtype).name
     if dname not in tables.VALID_RANGE:
@@ -135,13 +201,14 @@ def choose_moduli(target_rel_err: Optional[float] = None, *,
             f"target 2^{target_bits:.1f} is below the {real} output floor "
             f"(~2^{floor_bits:.1f}: dtype roundoff plus protocol-data "
             f"amplification); use a float64/complex128 output dtype")
+    best = math.inf
     for nu in range(lo, hi + 1):
-        bits = (CALIBRATED_C - log2_P(nu, backend) / 2.0
-                + spread_bits + margin_bits)
-        if bits <= target_bits:
-            return nu
-    best = (CALIBRATED_C - log2_P(hi, backend) / 2.0
-            + spread_bits + margin_bits)
+        for mode, fm in (("fast", True), ("robust", "robust")):
+            bits = (_modeled_bits(nu, backend, spread_bits, mode)
+                    + margin_bits)
+            best = min(best, bits)
+            if bits <= target_bits:
+                return ModuliChoice(nu, fm, 2.0 ** max(bits, floor_bits))
     raise ValueError(
         f"no num_moduli in [{lo}, {hi}] reaches target 2^{target_bits:.1f} "
         f"for {dname}/{backend} (best modeled: 2^{best:.1f}); consider "

@@ -568,7 +568,8 @@ def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     b = jnp.asarray(b)
     if refine_steps and residual_moduli is None:
         from .accuracy_model import choose_moduli
-        residual_moduli = max(num_moduli, choose_moduli(dtype=a.dtype))
+        residual_moduli = max(num_moduli,
+                              choose_moduli(dtype=a.dtype).num_moduli)
     lu, perm = getrf(a, num_moduli=num_moduli, fastmode=fastmode,
                      backend=backend, block=block, mesh=mesh)
     x = lu_solve(lu, perm, b, num_moduli=num_moduli, fastmode=fastmode,
@@ -634,7 +635,8 @@ def posv(a: jax.Array, b: jax.Array, *, lower: bool = True,
         raise ValueError(f"posv needs a square matrix, got {a.shape}")
     if refine_steps and residual_moduli is None:
         from .accuracy_model import choose_moduli
-        residual_moduli = max(num_moduli, choose_moduli(dtype=a.dtype))
+        residual_moduli = max(num_moduli,
+                              choose_moduli(dtype=a.dtype).num_moduli)
     chol = potrf(a, lower=lower, num_moduli=num_moduli, fastmode=fastmode,
                  backend=backend, block=block, mesh=mesh)
     x = potrs(chol, b, lower=lower, num_moduli=num_moduli, fastmode=fastmode,
