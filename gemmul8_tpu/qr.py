@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from . import tables
 from .core import gemm, syrk
-from .solvers import (_blocks, _check_mesh_blocking, _check_real_2d,
+from .solvers import (_blocks, _check_2d, _check_mesh_blocking,
                       _default_block, _dist_gemm, _schur_update, trsm)
 
 __all__ = ["geqrf", "ormqr", "qr", "lstsq"]
@@ -51,18 +51,34 @@ def _panel_vt(packed_panel, bw):
     return v.at[jnp.arange(bw), jnp.arange(bw)].set(1)
 
 
-def _block_t(v, tau, *, num_moduli, fastmode, backend, mesh):
-    """Compact-WY T for one block: T = inv(diag(1/tau) + striu(V^T V)).
+def _gram(v, *, num_moduli, fastmode, backend, mesh):
+    """V^H V (V^T V for real) with plane reuse where available: syrk for
+    real, herk for complex INT8; FP8-complex falls back to the generic
+    gemm (its split planes cannot derive the 3M difference lane)."""
+    is_c = jnp.issubdtype(v.dtype, jnp.complexfloating)
+    if mesh is None:
+        if not is_c:
+            return syrk(v, trans=True, num_moduli=num_moduli,
+                        fastmode=fastmode, backend=backend)
+        if backend == tables.Backend.INT8:
+            from .complex_gemm import herk
+            return herk(v, trans=True, num_moduli=num_moduli,
+                        fastmode=fastmode, backend=backend)
+        return gemm(v.conj().T, v, num_moduli=num_moduli,
+                    fastmode=fastmode, backend=backend)
+    vh = v.conj().T if is_c else v.T
+    return _dist_gemm(vh, v, mesh=mesh, num_moduli=num_moduli,
+                      fastmode=fastmode, backend=backend)
 
-    V^T V is the emulated Gram product (the O(m * bw^2) panel-class GEMM);
+
+def _block_t(v, tau, *, num_moduli, fastmode, backend, mesh):
+    """Compact-WY T for one block: T = inv(diag(1/tau) + striu(V^H V)).
+
+    V^H V is the emulated Gram product (the O(m * bw^2) panel-class GEMM);
     the bw x bw triangular inverse is native.
     """
-    if mesh is None:
-        w = syrk(v, trans=True, num_moduli=num_moduli, fastmode=fastmode,
-                 backend=backend)
-    else:
-        w = _dist_gemm(v.T, v, mesh=mesh, num_moduli=num_moduli,
-                       fastmode=fastmode, backend=backend)
+    w = _gram(v, num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+              mesh=mesh)
     # tau_j == 0 means H_j = I (LAPACK dlarfg with an empty tail -- EVERY
     # square matrix hits it on its final reflector; not rank deficiency).
     # The exact limit of T = inv(diag(1/tau) + striu(V'V)) as 1/tau_j -> inf
@@ -79,10 +95,14 @@ def _block_t(v, tau, *, num_moduli, fastmode, backend, mesh):
 
 
 def _apply_block(v, t, c, *, trans, num_moduli, fastmode, backend, mesh):
-    """(I - V T' V') C when trans else (I - V T V') C, bulk GEMMs emulated."""
-    y = _dist_gemm(v.T, c, mesh=mesh, num_moduli=num_moduli,
+    """(I - V T^H V^H) C when trans else (I - V T V^H) C, bulk GEMMs
+    emulated (^H degrades to ^T on real operands)."""
+    is_c = jnp.issubdtype(v.dtype, jnp.complexfloating)
+    vh = v.conj().T if is_c else v.T
+    y = _dist_gemm(vh, c, mesh=mesh, num_moduli=num_moduli,
                    fastmode=fastmode, backend=backend)
-    z = (t.T if trans else t) @ y
+    th = (t.conj().T if is_c else t.T) if trans else t
+    z = th @ y
     return _schur_update(v, z, c, mesh=mesh, num_moduli=num_moduli,
                          fastmode=fastmode, backend=backend)
 
@@ -110,7 +130,7 @@ def _geqrf_t(a, *, num_moduli, fastmode, backend, block, mesh):
     (None for the last block when no trailing update needed it), so
     qr()/lstsq() can hand them to ormqr instead of re-running one emulated
     Gram product per block."""
-    _check_real_2d(a, "A")
+    _check_2d(a, "A")
     m, n = a.shape
     kmin = min(m, n)
     blk = block or _default_block(kmin)
@@ -152,8 +172,8 @@ def ormqr(packed: jax.Array, taus: jax.Array, c: jax.Array, *,
     pass them automatically."""
     packed = jnp.asarray(packed)
     c = jnp.asarray(c)
-    _check_real_2d(packed, "packed")
-    _check_real_2d(c, "C")
+    _check_2d(packed, "packed")
+    _check_2d(c, "C")
     m, n = packed.shape
     kmin = min(m, n)
     if c.shape[0] != m:
@@ -191,7 +211,7 @@ def qr(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     orgqr), so the O(m^2 kmin) formation also runs on the emulated engine.
     """
     a = jnp.asarray(a)
-    _check_real_2d(a, "A")
+    _check_2d(a, "A")
     m, n = a.shape
     kmin = min(m, n)
     packed, taus, ts = _geqrf_t(a, num_moduli=num_moduli, fastmode=fastmode,
@@ -207,7 +227,7 @@ def lstsq(a: jax.Array, b: jax.Array, *, num_moduli: int = 8,
           fastmode="robust", backend: str = tables.Backend.INT8,
           block: Optional[int] = None, mesh=None) -> jax.Array:
     """Least-squares solution of A @ X = B (m >= n, full column rank)
-    via blocked Householder QR on the emulated engine: X = R^{-1} (Q^T B)
+    via blocked Householder QR on the emulated engine: X = R^{-1} (Q^H B)
     with the R solve through :func:`gemmul8_tpu.trsm`.
 
     `mesh` distributes the factorization; the Q^T B application and the

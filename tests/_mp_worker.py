@@ -9,7 +9,7 @@ Env contract (set by tests/test_multiprocess.py):
   G8_COORD  coordinator address host:port
   G8_NPROC  number of processes
   G8_PID    this process id
-  G8_MODE   gather | stream | accurate | robust
+  G8_MODE   gather | stream | accurate | robust | complex | getrf | qr
 """
 import os
 import sys
@@ -81,6 +81,36 @@ if mode in ("getrf", "qr"):
     if not ok:
         print(f"MISMATCH proc={os.environ['G8_PID']} mode={mode}")
         sys.exit(1)
+    print("MP_OK", flush=True)
+    sys.exit(0)
+
+if mode == "complex":
+    # planar-complex SUMMA cross-process: the 3M lane plane sets shard over
+    # the process-spanning mesh; every addressable (Cr, Ci) shard must
+    # bit-equal the single-device planar run
+    from gemmul8_tpu.parallel import summa_gemm_planar  # noqa: E402
+    rng = np.random.default_rng(0)
+    m = k = n = 64
+    planes_h = [rng.standard_normal((m, k)), rng.standard_normal((m, k)),
+                rng.standard_normal((k, n)), rng.standard_normal((k, n))]
+    sh = NamedSharding(mesh, P("x", "y"))
+    planes = [jax.make_array_from_callback(p.shape, sh,
+                                           lambda idx, p=p: p[idx])
+              for p in planes_h]
+    assert not planes[0].is_fully_addressable
+    cr, ci = summa_gemm_planar(*planes, mesh=mesh, num_moduli=12)
+    jax.block_until_ready(cr)
+    mesh1 = Mesh(np.asarray(jax.local_devices()[:1]).reshape(1, 1),
+                 ("x", "y"))
+    rr, ri = summa_gemm_planar(*[jnp.asarray(p) for p in planes_h],
+                               mesh=mesh1, num_moduli=12)
+    rr, ri = np.asarray(rr), np.asarray(ri)
+    for got, want in ((cr, rr), (ci, ri)):
+        for shard in got.addressable_shards:
+            if not np.array_equal(np.asarray(shard.data), want[shard.index]):
+                print(f"MISMATCH proc={os.environ['G8_PID']} "
+                      f"shard={shard.index}")
+                sys.exit(1)
     print("MP_OK", flush=True)
     sys.exit(0)
 

@@ -54,7 +54,8 @@ def _run_cluster(mode: str, nproc: int = 2, timeout: int = 420):
         assert "MP_OK" in out, f"worker {pid} (mode={mode}) no MP_OK:\n{out}"
 
 
-@pytest.mark.parametrize("mode", ["gather", "stream", "accurate", "robust"])
+@pytest.mark.parametrize("mode", ["gather", "stream", "accurate", "robust",
+                                  "complex"])
 def test_two_process_summa_bit_identity(mode):
     _run_cluster(mode)
 

@@ -115,9 +115,41 @@ def test_solve_complex_iterative_refinement():
     assert r2 < r0 / 16 or r2 < 1e-13
 
 
-def test_eig_qr_complex_raise_cleanly():
+def test_qr_complex():
+    m, n = 96, 64
+    a = cplx(m, n)
+    q, r = g8.qr(jnp.asarray(a), num_moduli=NU, block=32)
+    q, r = np.asarray(q), np.asarray(r)
+    assert relerr(q @ r, a) < 1e-11
+    # Q has orthonormal columns (Q^H Q = I)
+    assert np.max(np.abs(q.conj().T @ q - np.eye(n))) < 1e-11
+    assert np.allclose(r, np.triu(r))
+
+
+def test_lstsq_complex():
+    m, n = 96, 48
+    a = cplx(m, n)
+    x_true = cplx(n, 2)
+    b = a @ x_true
+    x = np.asarray(g8.lstsq(jnp.asarray(a), jnp.asarray(b), num_moduli=NU,
+                            block=32))
+    assert relerr(x, x_true) < 1e-9
+
+
+def test_ormqr_complex_roundtrip():
+    m, n = 64, 64
+    a = cplx(m, n)
+    packed, taus = g8.geqrf(jnp.asarray(a), num_moduli=NU, block=32)
+    eye = jnp.eye(m, dtype=jnp.complex128)
+    q = np.asarray(g8.ormqr(packed, taus, eye, num_moduli=NU, block=32))
+    qh_q = np.asarray(g8.ormqr(packed, taus, jnp.asarray(q), trans=True,
+                               num_moduli=NU, block=32))
+    assert np.max(np.abs(qh_q - np.eye(m))) < 1e-11
+
+
+def test_eig_complex_raises_cleanly():
     a = jnp.asarray(cplx(16, 16))
     with pytest.raises((NotImplementedError, TypeError, ValueError)):
         g8.eigh(a)
     with pytest.raises((NotImplementedError, TypeError, ValueError)):
-        g8.qr(a)
+        g8.svd(a)
