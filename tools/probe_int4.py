@@ -78,22 +78,15 @@ def main():
 
     report("int8 x int8 (baseline)", jax.jit(dot), a8, b8)
 
-    try:
-        a4 = jax.jit(lambda x: x.astype(jnp.int4))(a8)
-        b4 = jax.jit(lambda x: x.astype(jnp.int4))(b8)
-        a4.block_until_ready(); b4.block_until_ready()
-        report("int4 x int4", jax.jit(dot), a4, b4)
-        report("int4 x int8 (mixed)", jax.jit(dot), a4, b8)
-    except Exception as e:
-        print("int4 operand build FAIL:", type(e).__name__, str(e)[:160],
-              flush=True)
-        # fallback: cast fused INTO the timed program (materializing int4
-        # arrays as jit outputs can fail on the tunneled transport); the
-        # cast is VPU-cheap next to the dot and is what a 4-bit-limb
-        # encoder would emit inline anyway
-        report("int4 x int4 (cast fused)",
-               jax.jit(lambda x, y: dot(x.astype(jnp.int4),
-                                        y.astype(jnp.int4))), a8, b8)
+    # cast fused INTO the timed program: timed_loop's loop-carried float
+    # perturbation cannot live on int4 arrays (no implicit promotion -- the
+    # round-4 queue run failed exactly there), and an int4-plane encoder
+    # would emit the casts inline anyway (VPU-cheap next to the dot)
+    report("int4 x int4 (cast fused)",
+           jax.jit(lambda x, y: dot(x.astype(jnp.int4),
+                                    y.astype(jnp.int4))), a8, b8)
+    report("int4 x int8 (mixed, cast fused)",
+           jax.jit(lambda x, y: dot(x.astype(jnp.int4), y)), a8, b8)
 
 
 if __name__ == "__main__":
