@@ -184,68 +184,87 @@ def _trmm_lower_left(t, b, *, unit_diag, num_moduli, fastmode, backend,
     return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
 
-def _panel_lu_unblocked(a):
-    """Unblocked partial-pivot LU of an (m, b) panel in plain lax ops
-    (fori_loop + argmax + masked rank-1 updates). Matches LAPACK's
-    first-maximal pivot choice; returns (packed LU, perm) with
-    (PA)[i] == A[perm[i]]."""
-    m, b = a.shape
-    rows = jnp.arange(m)
-    cols = jnp.arange(b)
-
-    def body(j, carry):
-        a, perm = carry
-        col = jnp.abs(a[:, j])
-        p = jnp.argmax(jnp.where(rows >= j, col, -jnp.inf))
-        rj, rp = a[j], a[p]
-        a = a.at[j].set(rp).at[p].set(rj)
-        qj, qp = perm[j], perm[p]
-        perm = perm.at[j].set(qp).at[p].set(qj)
-        piv = a[j, j]
-        safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)  # zero column
-        below = rows > j
-        l = jnp.where(below, a[:, j] / safe, jnp.zeros_like(a[:, j]))
-        a = a.at[:, j].set(jnp.where(below, l, a[:, j]))
-        urow = jnp.where(cols > j, a[j], jnp.zeros_like(a[j]))
-        return a - l[:, None] * urow[None, :], perm
-
-    a, perm = jax.lax.fori_loop(
-        0, min(m, b), body, (a, jnp.arange(m, dtype=jnp.int32)))
-    return a, perm
-
-
 def _panel_lu(a, num_moduli, fastmode, backend):
     """Pivoted LU of an (m, b) panel, m >= b.
 
     Uses the native LuDecomposition where the backend implements the dtype
     (CPU: all dtypes; TPU: f32/c64 only -- the tested stack aborts compiles
     with 'Only F32 and C64 types are implemented in LuDecomposition' for
-    f64). Otherwise a recursive right-looking factorization: the O(m b^2)
-    bulk rides the emulated GEMM + the (expander-backed) native triangular
-    solve, bottoming out in the unblocked masked-lax kernel."""
+    f64). Otherwise `_panel_lu_tpu`: pivot ORDER from the hardware f32 LU,
+    unpivoted block recursion in full precision."""
     if jax.default_backend() == "cpu" or a.dtype == jnp.float32:
         lu_, _, perm = jax.lax.linalg.lu(a)
         return lu_, perm
-    return _panel_lu_rec(a, num_moduli, fastmode, backend)
+    return _panel_lu_tpu(a, num_moduli, fastmode, backend)
 
 
-def _panel_lu_rec(a, num_moduli, fastmode, backend):
-    b = a.shape[1]
+def _panel_lu_tpu(a, num_moduli, fastmode, backend):
+    """Panel LU for backends without the dtype's native LuDecomposition.
+
+    Phase 1: the PIVOT ORDER comes from the native f32 (c64 for complex)
+    LU. Pivot quality is f32-grade: where the f32 and full-precision
+    trailing updates diverge (cancellation-heavy entries), the chosen pivot
+    can be modestly smaller than the true column max -- measured
+    |L|_max ~ 1.4 on random 320x160 panels, i.e. THRESHOLD-pivoting-grade
+    stability rather than strict partial pivoting (the growth is monitored
+    by the factorization-residual tests, and solve() layers iterative
+    refinement on top). Deterministic for fixed input. Phase 2: unpivoted
+    right-looking block recursion on the permuted panel in FULL precision
+    -- native triangular solves + ONE emulated GEMM per node, bottoming
+    out in a b<=64 fori_loop on the SQUARE top block only plus one trsm
+    for the rows below (the round-4 first cut ran the elimination loop
+    over the whole m-row panel and dominated getrf 4096 at ~107 s on
+    hardware).
+
+    An exactly-singular pivot (a zero column in full precision) produces
+    inf/nan like LAPACK's unpivoted routines; partial pivoting in phase 1
+    makes that reachable only for structurally singular panels."""
+    lp = (jnp.complex64 if jnp.issubdtype(a.dtype, jnp.complexfloating)
+          else jnp.float32)
+    _, _, perm = jax.lax.linalg.lu(a.astype(lp))
+    ap = a.take(perm, axis=0)
+    return _panel_lu_nopiv(ap, num_moduli, fastmode, backend), perm
+
+
+def _panel_lu_nopiv(a, num_moduli, fastmode, backend):
+    m, b = a.shape
     if b <= 64:
-        return _panel_lu_unblocked(a)
+        return _panel_lu_nopiv_base(a)
     b1 = b // 2
-    lu1, perm1 = _panel_lu_rec(a[:, :b1], num_moduli, fastmode, backend)
-    rest = a[:, b1:].take(perm1, axis=0)
-    u12 = _tri_solve_native(lu1[:b1], rest[:b1], unit_diag=True)
-    a22 = _schur_update(lu1[b1:, :b1], u12, rest[b1:], mesh=None,
+    lu1 = _panel_lu_nopiv(a[:, :b1], num_moduli, fastmode, backend)
+    u12 = _tri_solve_native(lu1[:b1], a[:b1, b1:], unit_diag=True)
+    a22 = _schur_update(lu1[b1:, :b1], u12, a[b1:, b1:], mesh=None,
                         num_moduli=num_moduli, fastmode=fastmode,
                         backend=backend)
-    lu2, perm2 = _panel_lu_rec(a22, num_moduli, fastmode, backend)
-    lower = jnp.concatenate([lu1[b1:, :b1].take(perm2, axis=0), lu2], axis=1)
-    out = jnp.concatenate(
-        [jnp.concatenate([lu1[:b1], u12], axis=1), lower], axis=0)
-    perm = jnp.concatenate([perm1[:b1], perm1[b1:].take(perm2)])
-    return out, perm
+    lu2 = _panel_lu_nopiv(a22, num_moduli, fastmode, backend)
+    top = jnp.concatenate([lu1[:b1], u12], axis=1)
+    bot = jnp.concatenate([lu1[b1:, :b1], lu2], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _panel_lu_nopiv_base(a):
+    """Unpivoted LU of an (m, b) panel, b <= 64: a b-step masked fori_loop
+    on the SQUARE top block (tiny), then L21 = A21 U11^{-1} as one native
+    triangular solve for all remaining rows."""
+    b = a.shape[1]
+    a11 = a[:b]
+    idx = jnp.arange(b)
+
+    def body(j, x):
+        piv = x[j, j]
+        safe = jnp.where(piv == 0, jnp.ones_like(piv), piv)  # zero column
+        below = idx > j
+        l = jnp.where(below, x[:, j] / safe, jnp.zeros_like(x[:, j]))
+        x = x.at[:, j].set(jnp.where(below, l, x[:, j]))
+        urow = jnp.where(idx > j, x[j], jnp.zeros_like(x[j]))
+        return x - l[:, None] * urow[None, :]
+
+    lu11 = jax.lax.fori_loop(0, b, body, a11)
+    if a.shape[0] == b:
+        return lu11
+    l21 = jax.lax.linalg.triangular_solve(
+        jnp.triu(lu11), a[b:], left_side=False, lower=False)
+    return jnp.concatenate([lu11, l21], axis=0)
 
 
 def _canon_tri(a, lower, trans_a):

@@ -48,31 +48,17 @@ def test_complex_accu_estimation_large_k_no_overflow():
 
 
 @pytest.mark.parametrize("dtype", [np.float64, np.complex128])
-def test_panel_lu_unblocked_matches_native(dtype):
-    m, b = 96, 48
+def test_panel_lu_tpu_path_matches_quality(dtype):
+    """The TPU-path panel LU (f32/c64 pivot order + unpivoted full-precision
+    block recursion with emulated-GEMM updates), run here on CPU: the
+    reconstruction P A = L U must hold to full precision and the pivots
+    must bound |L| (partial-pivoting growth)."""
+    m, b = 320, 160
     a = RNG.standard_normal((m, b))
     if np.issubdtype(dtype, np.complexfloating):
         a = a + 1j * RNG.standard_normal((m, b))
     a = jnp.asarray(a.astype(dtype))
-    lu_u, perm_u = solvers._panel_lu_unblocked(a)
-    lu_u, perm_u = np.asarray(lu_u), np.asarray(perm_u)
-    # reconstruct: L (m,b unit-lower trapezoid) @ U (b,b upper) == P A
-    lfull = np.tril(lu_u, -1)
-    np.fill_diagonal(lfull, 1.0)
-    u = np.triu(lu_u[:b])
-    pa = np.asarray(a)[perm_u]
-    err = np.max(np.abs(lfull @ u - pa)) / np.max(np.abs(pa))
-    assert err < 1e-13
-    # pivot growth sanity: |L| <= 1 off-diagonal (partial pivoting held)
-    assert np.max(np.abs(lfull)) <= 1.0 + 1e-12
-
-
-def test_panel_lu_recursive_matches_quality():
-    """The TPU-path recursion (emulated-GEMM updates + unblocked base) on a
-    tall panel, run here on CPU: residual quality matches native lu."""
-    m, b = 320, 160
-    a = jnp.asarray(RNG.standard_normal((m, b)))
-    lu_r, perm_r = solvers._panel_lu_rec(a, 14, "robust",
+    lu_r, perm_r = solvers._panel_lu_tpu(a, 14, "robust",
                                          tables.Backend.INT8)
     lu_r, perm_r = np.asarray(lu_r), np.asarray(perm_r)
     lfull = np.tril(lu_r, -1)
@@ -82,11 +68,16 @@ def test_panel_lu_recursive_matches_quality():
     err = np.max(np.abs(lfull @ u - pa)) / np.max(np.abs(pa))
     assert err < 1e-12
     assert sorted(perm_r.tolist()) == list(range(m))
+    # f32-selected pivots give THRESHOLD-pivoting-grade |L| (strict partial
+    # pivoting would give <= 1; f32-vs-f64 trailing-update divergence at
+    # cancellation-heavy entries measured ~1.4 max on random panels)
+    assert np.max(np.abs(lfull)) <= 4.0
 
 
-def test_panel_lu_zero_column():
-    """A structurally singular panel must not produce NaN/Inf."""
-    a = np.asarray(RNG.standard_normal((16, 8)))
+def test_panel_lu_base_zero_column():
+    """A structurally singular square base must not produce NaN/Inf
+    (safe-divide guard)."""
+    a = np.asarray(RNG.standard_normal((16, 16)))
     a[:, 3] = 0.0
-    lu_u, perm_u = solvers._panel_lu_unblocked(jnp.asarray(a))
+    lu_u = solvers._panel_lu_nopiv_base(jnp.asarray(a))
     assert np.all(np.isfinite(np.asarray(lu_u)))
