@@ -18,8 +18,10 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the suite is dominated by XLA CPU compiles
 # of the trace-unrolled emulator graphs; caching them across runs cuts the
-# wall time dramatically on re-runs
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# wall time dramatically on re-runs. GEMMUL8_TEST_NO_COMPCACHE=1 disables it
+# (the zstd cache writer has segfaulted under long exhaustive runs).
+if os.environ.get("GEMMUL8_TEST_NO_COMPCACHE", "") != "1":
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
