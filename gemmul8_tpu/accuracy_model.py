@@ -27,8 +27,9 @@ Calibration (committed CSVs, benchmarks/results/):
     intercepts blow past 50-78: oz2_calib_INT8_f64_fastrobust_cpu_r4.csv,
     phi=4 rows) so the model declares fast INVALID past
     ``FAST_SPREAD_LIMIT`` instead of extrapolating.
-  * robust (scale-invariant fast):  C = 24.0, s = 0.65  -- bounded growth
-    at any measured spread (phi=4 worst intercept 36.2 vs modeled 37.8).
+  * robust (scale-invariant fast):  C = 24.0, s = 0.8   -- bounded growth
+    at any measured spread (the f32 phi=4 rows pin the slope at 0.8;
+    f64 phi=4 worst intercept 36.2 sits under 24 + 0.8*22 = 41.6).
   * accurate (two-phase estimation): C = 21.0, s = 0.9  -- best base
     intercept; its max-rel-err still grows with spread because spread data
     puts small-|c| elements under a row/col-scaled quantization grid (an
@@ -60,7 +61,7 @@ CALIBRATED_C = {"fast": 24.7, "robust": 24.0, "accu": 21.0}
 #: spread sensitivity per mode: modeled penalty = s * spread_bits
 #: (fast's 1.2 is pinned by the f32 phi=2 sweep rows -- the formula's
 #: degradation is superlinear in spread even inside its valid domain)
-SPREAD_FACTOR = {"fast": 1.2, "robust": 0.65, "accu": 0.9}
+SPREAD_FACTOR = {"fast": 1.2, "robust": 0.8, "accu": 0.9}
 
 #: the reference fast formula's calibrated domain: phi <~ 1.5 (~8 spread
 #: bits). Beyond, measured errors leave the linear model entirely -- f32 at
@@ -86,6 +87,14 @@ NATIVE_ERR_BITS = {"float64": -36.0, "float32": -10.0,
 #: (eps 2^-23.25), f64 floor 2^-45.9 .. -48.9 (eps 2^-52.4). 6.6 bits covers
 #: the worst committed row (accu nu=19 at 2^-45.9).
 FLOOR_AMPLIFICATION_BITS = 6.6
+
+#: exponent-spread data lifts the floor further (small-|c| entries under a
+#: row/col-scaled grid), but the measured lift SATURATES: the worst
+#: committed floor-region rows sit 2.5-5 bits above the flat floor
+#: (f64 robust nu=20 at phi=0.5: +2.5; f32 robust nu=13 at phi=4: +4.95)
+#: -- so the model couples the floor to min(spread, 5.5) rather than
+#: tracking spread 1:1
+FLOOR_SPREAD_CAP = 5.5
 
 
 class ModuliChoice(NamedTuple):
@@ -141,12 +150,11 @@ def modeled_max_rel_err(num_moduli: int, *,
     real = {"complex64": "float32",
             "complex128": "float64"}.get(np.dtype(out_dtype).name,
                                          np.dtype(out_dtype).name)
-    # spread data amplifies the output-rounding floor too: small-|c|
-    # entries sit under a row/col-scaled grid, so the floor tracks the
-    # exponent spread bit-for-bit (calibration: robust f64 nu=20 rows at
-    # phi=0.5 sit 2.5 bits above the flat floor)
+    # spread data lifts the output-rounding floor too, saturating around
+    # ~2.5 bits on the committed rows (see FLOOR_SPREAD_CAP)
     floor_bits = (math.log2(np.finfo(np.dtype(real)).eps)
-                  + FLOOR_AMPLIFICATION_BITS + spread_bits)
+                  + FLOOR_AMPLIFICATION_BITS
+                  + min(spread_bits, FLOOR_SPREAD_CAP))
     return 2.0 ** max(bits, floor_bits) if bits != math.inf else math.inf
 
 
@@ -192,15 +200,18 @@ def choose_moduli(target_rel_err: Optional[float] = None, *,
     if target_rel_err <= 0:
         raise ValueError("target_rel_err must be positive")
     target_bits = math.log2(target_rel_err)
-    # the output dtype's own rounding (plus its protocol-data amplification)
-    # caps what any num_moduli can deliver: refuse rather than under-deliver
+    # the output dtype's own rounding (amplified by the data's exponent
+    # spread -- see modeled_max_rel_err) caps what any num_moduli can
+    # deliver: refuse rather than under-deliver
     floor_bits = (math.log2(np.finfo(np.dtype(real)).eps)
-                  + FLOOR_AMPLIFICATION_BITS)
+                  + FLOOR_AMPLIFICATION_BITS
+                  + min(spread_bits, FLOOR_SPREAD_CAP))
     if target_bits < floor_bits:
         raise ValueError(
             f"target 2^{target_bits:.1f} is below the {real} output floor "
             f"(~2^{floor_bits:.1f}: dtype roundoff plus protocol-data "
-            f"amplification); use a float64/complex128 output dtype")
+            f"amplification at spread_bits={spread_bits:g}); use a wider "
+            f"output dtype or relax the target")
     best = math.inf
     for nu in range(lo, hi + 1):
         for mode, fm in (("fast", True), ("robust", "robust")):

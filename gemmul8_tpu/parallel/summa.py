@@ -604,6 +604,17 @@ def summa_gemm_planar(ar: jax.Array, ai: jax.Array, br: jax.Array,
         raise ValueError(f"bcast must be 'ring' or 'psum', got {bcast!r}")
     if mesh is None:
         mesh = make_mesh()
+    if not (ar.dtype == ai.dtype == br.dtype == bi.dtype):
+        raise TypeError(
+            f"planar components must share one real dtype, got "
+            f"{ar.dtype}/{ai.dtype}/{br.dtype}/{bi.dtype}")
+    if ar.shape != ai.shape or br.shape != bi.shape:
+        raise ValueError(
+            f"planar component shapes differ: A {ar.shape} vs {ai.shape}, "
+            f"B {br.shape} vs {bi.shape}")
+    if np.dtype(ar.dtype).name not in ("float32", "float64"):
+        raise TypeError(f"planar components must be f32/f64 real planes, "
+                        f"got {ar.dtype}")
     name = {"float32": "complex64", "float64": "complex128"}[
         np.dtype(ar.dtype).name]
     lo, hi = tables.VALID_RANGE[name]

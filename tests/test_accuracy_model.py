@@ -54,7 +54,10 @@ def test_choose_respects_valid_range_and_raises():
     # a representable target that no valid setting reaches (because of a
     # huge spread demand) raises with the best achievable in the message
     with pytest.raises(ValueError, match="best modeled"):
-        g8.choose_moduli(2.0 ** -42, dtype=np.float64, spread_bits=25.0)
+        g8.choose_moduli(2.0 ** -38, dtype=np.float64, spread_bits=25.0)
+    # below the (spread-lifted) output floor: a different, named refusal
+    with pytest.raises(ValueError, match="output floor"):
+        g8.choose_moduli(2.0 ** -41, dtype=np.float64, spread_bits=25.0)
     # an f32 target below the f32 output floor raises too (refuse rather
     # than silently under-deliver), pointing at a wider output dtype
     with pytest.raises(ValueError, match="output floor"):
