@@ -543,7 +543,8 @@ def syrk(a: jax.Array, *, trans: bool = False, num_moduli: int = 8,
     if a.ndim != 2:
         raise ValueError(f"syrk expects a 2-D operand, got ndim={a.ndim}")
     if jnp.issubdtype(a.dtype, jnp.complexfloating):
-        raise NotImplementedError("syrk is real-only; use gemm for complex")
+        raise NotImplementedError(
+            "syrk is real-only; use herk (A @ A^H) or gemm for complex")
     lo, hi = tables.VALID_RANGE[np.dtype(a.dtype).name]
     if not lo <= num_moduli <= hi:
         raise ValueError(

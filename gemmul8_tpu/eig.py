@@ -26,7 +26,15 @@ emulation noise floor; sweeps converge quadratically once pairs decouple
 svd:  one-sided (Hestenes) block Jacobi -- orthogonalizes column blocks
       of W = A V; at convergence sigma = column norms, U = W / sigma.
 eigh: two-sided block Jacobi -- batched native eigh of the 2b x 2b
-      pair subblocks drives A <- J^T A J to diagonal form.
+      pair subblocks drives A <- J^H A J to diagonal form.
+
+Complex dtypes (zheev/zgesvd analogs): the SAME schedules and update
+shapes carry over with conjugate-transpose algebra -- the pair Gram
+products are Hermitian (X^H X), the batched native eigh returns complex
+unitary rotations, and every O(n^3) rotation application routes through
+``gemm_batched``'s complex (3M) dispatch. Eigen-/singular values stay
+real; ``conj()`` is a no-op on real inputs so one code path serves all
+four dtypes.
 """
 from typing import Optional
 
@@ -36,9 +44,18 @@ import jax.numpy as jnp
 
 from . import tables
 from .core import gemm_batched
-from .solvers import _check_real_2d
 
 __all__ = ["svd", "eigh"]
+
+
+def _check_2d(x, name):
+    if x.ndim != 2:
+        raise ValueError(f"{name} must be 2-D, got ndim={x.ndim}")
+
+
+def _ct(x):
+    """Batched conjugate transpose (B, r, c) -> (B, c, r)."""
+    return x.conj().transpose(0, 2, 1)
 
 
 def _pick_block(n: int, block: Optional[int]) -> int:
@@ -101,7 +118,7 @@ def _scatter_cols(x, cols, upd):
 def _default_nu(dtype) -> int:
     # iterative orthogonalization needs near-dtype-accurate rotations;
     # these hit the dtype's native-precision settings (choose_moduli law)
-    return 14 if np.dtype(dtype).itemsize == 8 else 9
+    return 14 if np.dtype(dtype) in (np.float64, np.complex128) else 9
 
 
 def _pair_sharding(mesh, pairs_per_round: int):
@@ -151,16 +168,16 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
     u rather than an arbitrary orthonormal completion.
     """
     a = jnp.asarray(a)
-    _check_real_2d(a, "A")
+    _check_2d(a, "A")
     if a.shape[0] < a.shape[1]:
-        # run on A^T: A = (V') S (U')^T  =>  u = vt'.T, vt = u'.T
-        res = svd(a.T, num_moduli=num_moduli, fastmode=fastmode,
+        # run on A^H: A = (V') S (U')^H  =>  u = vt'^H, vt = u'^H
+        res = svd(a.conj().T, num_moduli=num_moduli, fastmode=fastmode,
                   backend=backend, block=block, max_sweeps=max_sweeps,
                   tol=tol, compute_uv=compute_uv, mesh=mesh)
         if not compute_uv:
             return res
         ut, s, vtt = res
-        return vtt.T, s, ut.T
+        return vtt.conj().T, s, ut.conj().T
     m, n = a.shape
     nu = num_moduli if num_moduli is not None else _default_nu(a.dtype)
     b = _pick_block(n, block)
@@ -173,15 +190,15 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
     v = jnp.eye(n, dtype=a.dtype)
     prev_off = None
     for sweep in range(max_sweeps):
-        off = jnp.zeros((), a.dtype)
+        off = jnp.zeros((), jnp.finfo(a.dtype).dtype)  # real component dtype
         for pairs in rounds:
             if not pairs:           # nb == 1 (n == 1): nothing to rotate
                 continue
             cols = _pair_cols(pairs, b)
             x = _shard(_gather_cols(w, cols), shd)          # (P, m, 2b)
-            g = gemm_batched(x.transpose(0, 2, 1), x, num_moduli=nu,
+            g = gemm_batched(_ct(x), x, num_moduli=nu,
                              fastmode=fastmode, backend=backend)
-            d = jnp.diagonal(g, axis1=1, axis2=2)           # (P, 2b)
+            d = jnp.diagonal(g, axis1=1, axis2=2).real      # (P, 2b)
             denom = jnp.sqrt(jnp.maximum(
                 d[:, :b, None] * d[:, None, b:], tiny))
             off = jnp.maximum(off, jnp.max(jnp.abs(g[:, :b, b:]) / denom))
@@ -203,7 +220,7 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
         if sweep >= 4 and prev_off is not None and off_h >= prev_off:
             break
         prev_off = off_h
-    s2 = jnp.sum(w * w, axis=0)
+    s2 = jnp.sum((w * w.conj()).real, axis=0)
     order = jnp.argsort(-s2)
     s = jnp.sqrt(s2[order])
     kmin = min(m, n)
@@ -211,8 +228,9 @@ def svd(a: jax.Array, *, num_moduli: Optional[int] = None,
     if not compute_uv:
         return s
     wk = w[:, order[:kmin]]
-    u = jnp.where(s[None, :] > 0, wk / jnp.maximum(s[None, :], tiny), 0.0)
-    return u, s, v[:, order[:kmin]].T
+    u = jnp.where(s[None, :] > 0, wk / jnp.maximum(s[None, :], tiny),
+                  jnp.zeros((), wk.dtype))
+    return u, s, v[:, order[:kmin]].conj().T
 
 
 def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
@@ -228,7 +246,7 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
     applications run through the batched emulated GEMM.
     """
     a = jnp.asarray(a)
-    _check_real_2d(a, "A")
+    _check_2d(a, "A")
     if a.shape[0] != a.shape[1]:
         raise ValueError(f"eigh needs a square matrix, got {a.shape}")
     n = a.shape[0]
@@ -238,12 +256,12 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
     shd = _pair_sharding(mesh, len(rounds[0]))
     stop = _tolerances(a, tol)
 
-    a = (a + a.T) * 0.5
-    fro = jnp.sqrt(jnp.sum(a * a))
+    a = (a + a.conj().T) * 0.5            # Hermitian part (zheev analog)
+    fro = jnp.sqrt(jnp.sum((a * a.conj()).real))
     v = jnp.eye(n, dtype=a.dtype)
     prev_off = None
     for sweep in range(max_sweeps):
-        off2 = jnp.zeros((), a.dtype)
+        off2 = jnp.zeros((), fro.dtype)
         for pairs in rounds:
             if not pairs:           # nb == 1 (n == 1): nothing to rotate
                 continue
@@ -251,7 +269,8 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
             rows = a.take(cols.reshape(-1), axis=0).reshape(
                 cols.shape[0], 2 * b, n)
             s = jnp.take_along_axis(rows, cols[:, None, :], axis=2)
-            off2 = off2 + 2.0 * jnp.sum(s[:, :b, b:] ** 2)
+            sob = s[:, :b, b:]
+            off2 = off2 + 2.0 * jnp.sum((sob * sob.conj()).real)
             _, j = jnp.linalg.eigh(s)                       # ascending
             a = _scatter_cols(a, cols, gemm_batched(
                 _shard(_gather_cols(a, cols), shd), j, num_moduli=nu,
@@ -259,13 +278,13 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
             rows = a.take(cols.reshape(-1), axis=0).reshape(
                 cols.shape[0], 2 * b, n)
             a = a.at[cols.reshape(-1), :].set(
-                gemm_batched(j.transpose(0, 2, 1), _shard(rows, shd),
+                gemm_batched(_ct(j), _shard(rows, shd),
                              num_moduli=nu, fastmode=fastmode,
                              backend=backend).reshape(-1, n))
             v = _scatter_cols(v, cols, gemm_batched(
                 _shard(_gather_cols(v, cols), shd), j, num_moduli=nu,
                 fastmode=fastmode, backend=backend))
-        a = (a + a.T) * 0.5
+        a = (a + a.conj().T) * 0.5
         # finfo.tiny, not a float64 literal: 1e-300 underflows to 0.0 in
         # f32, which would make the zero-matrix guard a no-op (0/0 = NaN
         # never compares <= stop, burning all max_sweeps)
@@ -276,6 +295,6 @@ def eigh(a: jax.Array, *, num_moduli: Optional[int] = None,
         if sweep >= 4 and prev_off is not None and off_h >= prev_off:
             break                     # stagnated at the emulation floor
         prev_off = off_h
-    wdiag = jnp.diagonal(a)
+    wdiag = jnp.diagonal(a).real          # Hermitian: eigenvalues are real
     order = jnp.argsort(wdiag)
     return wdiag[order], v[:, order]

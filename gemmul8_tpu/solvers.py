@@ -43,13 +43,6 @@ __all__ = ["trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "potrs",
            "posv", "inv"]
 
 
-def _check_real_2d(x, name):
-    if x.ndim != 2:
-        raise ValueError(f"{name} must be 2-D, got ndim={x.ndim}")
-    if jnp.issubdtype(x.dtype, jnp.complexfloating):
-        raise NotImplementedError("solvers are real-only (f32/f64)")
-
-
 def _check_2d(x, name):
     """Complex-capable entries (the skeletons are dtype-generic: every
     O(n^3) update routes through gemm, which dispatches the 3M complex

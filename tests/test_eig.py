@@ -111,10 +111,75 @@ def test_eigh_bit_reproducible():
 def test_eig_rejects_bad_inputs():
     with pytest.raises(ValueError):
         g8.eigh(jnp.ones((4, 6)))
-    with pytest.raises(NotImplementedError):
-        g8.svd(jnp.ones((4, 4), jnp.complex64))
     with pytest.raises(ValueError):  # block must divide n
         g8.svd(jnp.ones((32, 30)), block=7)
+
+
+# ---------------------------------------------------------------------------
+# complex dtypes (zheev/zgesvd analogs): same schedules, conjugate algebra
+# ---------------------------------------------------------------------------
+
+def _crandn(rng, shape, dtype):
+    return (rng.standard_normal(shape)
+            + 1j * rng.standard_normal(shape)).astype(dtype)
+
+
+@pytest.mark.parametrize("shape", [(96, 64), (64, 64), (48, 96)])
+def test_zsvd_reconstructs_and_unitary(shape):
+    rng = _rng(sum(shape) + 1000)
+    a = _crandn(rng, shape, np.complex128)
+    u, s, vt = (np.asarray(x) for x in g8.svd(jnp.asarray(a)))
+    m, n = shape
+    kmin = min(m, n)
+    assert u.shape == (m, kmin) and s.shape == (kmin,) and vt.shape == (kmin, n)
+    assert s.dtype == np.float64          # singular values are real
+    assert np.all(np.diff(s) <= 0)
+    assert np.max(np.abs(u @ np.diag(s) @ vt - a)) / np.max(np.abs(a)) < 1e-11
+    assert np.max(np.abs(u.conj().T @ u - np.eye(kmin))) < 1e-11
+    assert np.max(np.abs(vt @ vt.conj().T - np.eye(kmin))) < 1e-11
+
+
+def test_zsvd_values_match_numpy():
+    rng = _rng(1002)
+    a = _crandn(rng, (80, 48), np.complex128)
+    s = np.asarray(g8.svd(jnp.asarray(a), compute_uv=False))
+    sref = np.linalg.svd(a, compute_uv=False)
+    assert np.max(np.abs(s - sref) / sref) < 1e-12
+
+
+def test_zheev_matches_numpy():
+    rng = _rng(1003)
+    m = _crandn(rng, (80, 80), np.complex128)
+    herm = (m + m.conj().T) / 2
+    w, v = (np.asarray(x) for x in g8.eigh(jnp.asarray(herm)))
+    assert w.dtype == np.float64          # Hermitian: eigenvalues are real
+    wref = np.linalg.eigvalsh(herm)
+    assert np.max(np.abs(w - wref)) / np.max(np.abs(wref)) < 1e-13
+    resid = np.max(np.abs(herm @ v - v * w[None, :]))
+    assert resid / np.max(np.abs(wref)) < 1e-12
+    assert np.max(np.abs(v.conj().T @ v - np.eye(80))) < 1e-11
+
+
+def test_cheev_csvd_f32():
+    rng = _rng(1004)
+    a = _crandn(rng, (64, 64), np.complex64)
+    s = np.asarray(g8.svd(jnp.asarray(a), compute_uv=False))
+    sref = np.linalg.svd(a.astype(np.complex128), compute_uv=False)
+    assert np.max(np.abs(s - sref) / sref) < 1e-4
+    herm = ((a + a.conj().T) / 2).astype(np.complex64)
+    w, _ = g8.eigh(jnp.asarray(herm))
+    wref = np.linalg.eigvalsh(herm.astype(np.complex128))
+    assert np.max(np.abs(np.asarray(w) - wref)) / np.max(np.abs(wref)) < 1e-4
+
+
+def test_zsvd_distributed_bit_identical_across_meshes():
+    rng = _rng(1005)
+    a = jnp.asarray(_crandn(rng, (160, 128), np.complex128))
+    s1 = g8.svd(a, block=8, compute_uv=False, mesh=_mesh_of(1, 1))
+    s8 = g8.svd(a, block=8, compute_uv=False, mesh=_mesh_of(2, 4))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s8))
+    sref = np.linalg.svd(np.asarray(a), compute_uv=False)
+    assert np.max(np.abs(np.asarray(s8) - sref) / sref) < 1e-11
 
 
 def test_round_robin_covers_all_pairs():
