@@ -64,7 +64,8 @@ def main():
 
     dev = jax.devices()[0].device_kind.replace(" ", "")
     stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
-    out = args.out or (
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results",
         f"oz2_results_{args.backend}_{args.dtype}_accuracy_{dev}_{stamp}.csv")
 
     def gen(rng, rows, cols, phi):

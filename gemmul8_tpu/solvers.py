@@ -212,11 +212,30 @@ def _panel_lu_tpu(a, num_moduli, fastmode, backend):
     An exactly-singular pivot (a zero column in full precision) produces
     inf/nan like LAPACK's unpivoted routines; partial pivoting in phase 1
     makes that reachable only for structurally singular panels."""
-    lp = (jnp.complex64 if jnp.issubdtype(a.dtype, jnp.complexfloating)
-          else jnp.float32)
-    _, _, perm = jax.lax.linalg.lu(a.astype(lp))
-    ap = a.take(perm, axis=0)
-    return _panel_lu_nopiv(ap, num_moduli, fastmode, backend), perm
+    return _panel_lu_tpu_jitted(num_moduli, fastmode, backend)(a)
+
+
+@functools.lru_cache(maxsize=None)
+def _panel_lu_tpu_jitted(num_moduli, fastmode, backend):
+    """One jitted program per (config) x (shape via jit's own cache).
+
+    Eager execution of the panel recursion is pathological on the tunneled
+    transport: each eager primitive dispatch costs ~100-150 ms of transport
+    round-trip, and the recursion's 8 unjitted base cases per 512-wide
+    panel measured ~1 s EACH (tools/probe_getrf_phases.py: recursion
+    7.8 s/panel eager while every component jitted is ~10 ms -> getrf 4096
+    at 73 s). Fusing the f32-pivot pass, the row gather, and the whole
+    full-precision block recursion into one XLA program removes the
+    per-primitive transport cost entirely."""
+
+    def run(a):
+        lp = (jnp.complex64 if jnp.issubdtype(a.dtype, jnp.complexfloating)
+              else jnp.float32)
+        _, _, perm = jax.lax.linalg.lu(a.astype(lp))
+        ap = a.take(perm, axis=0)
+        return _panel_lu_nopiv(ap, num_moduli, fastmode, backend), perm
+
+    return jax.jit(run)
 
 
 def _panel_lu_nopiv(a, num_moduli, fastmode, backend):
