@@ -52,26 +52,29 @@ def main():
 
     for s in [int(x) for x in args.sizes.split(",")]:
         m = n = k = s
-        # first-contact retry: the tunneled worker can hold a previous
-        # client's buffers for minutes after it exits; back off until the
-        # stale state is released rather than dying on RESOURCE_EXHAUSTED
-        # G8_ALLOC_RETRIES counts RETRIES: 0 still means one attempt
-        retries = int(os.environ.get("G8_ALLOC_RETRIES", "2"))
-        for attempt in range(retries + 1):
-            try:
-                a = jax.jit(lambda key: jax.random.normal(
-                    key, (m, k), jnp.float64))(jax.random.PRNGKey(0))
-                b = jax.jit(lambda key: jax.random.normal(
-                    key, (k, n), jnp.float64))(jax.random.PRNGKey(1))
-                a.block_until_ready()
-                b.block_until_ready()
-                break
-            except Exception as e:
-                if "RESOURCE_EXHAUSTED" not in str(e) or attempt >= retries:
-                    raise
-                print(f"device memory not yet released (attempt {attempt}); "
-                      f"waiting 60 s", file=sys.stderr)
-                time.sleep(60)
+        # Generate in f32 and widen: f64 threefry at 16384^2 needs several
+        # 2-GiB u64-emulation temporaries and RESOURCE_EXHAUSTs the 16-GiB
+        # chip (this, not a worker-side leak, was the round-3/4 big_flops
+        # blocker -- tools/probe_hbm.py measured 12 GiB allocatable right
+        # before the f64 generator OOMed). Mantissa content does not affect
+        # a flops row; f32-grade values exercise the identical int8 path.
+        # NOTE a RESOURCE_EXHAUSTED wedges this client process permanently
+        # (measured: after one OOM even a 4-byte PRNGKey transfer fails),
+        # so there is no point retrying in-process -- fail fast and re-run.
+        try:
+            gen = jax.jit(lambda key: jax.random.normal(
+                key, (m, k), jnp.float32).astype(jnp.float64))
+            a = gen(jax.random.PRNGKey(0))
+            b = gen(jax.random.PRNGKey(1))
+            a.block_until_ready()
+            b.block_until_ready()
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e):
+                print("operand generation OOMed; the client is now wedged "
+                      "(one RESOURCE_EXHAUSTED poisons the process) -- "
+                      "re-run in a fresh process with a smaller size",
+                      file=sys.stderr)
+            raise
         for nu in [int(x) for x in args.nu.split(",")]:
             mb, nb = core.pick_blocking(m, n, k, nu, jnp.float64,
                                         budget_bytes=budget)
