@@ -13,8 +13,9 @@ from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
 from .hook import emulate, install, refresh, uninstall
 from .eig import eigh, svd
 from .qr import geqrf, lstsq, ormqr, qr
+from .blas3 import hemm, her2k, symm, syr2k
 from .solvers import (getrf, inv, lu_solve, posv, potrf, potrs, solve, trmm,
-                      trsm)
+                      trsm, trtri)
 from .tables import Backend
 
 __version__ = "0.2.0"
@@ -25,8 +26,9 @@ __all__ = [
     "herk", "herk_planar",
     "Backend", "GemmConfig", "env_config", "tables", "compare",
     "choose_moduli", "modeled_max_rel_err",
+    "syr2k", "her2k", "symm", "hemm",
     "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "potrs", "posv",
-    "inv",
+    "inv", "trtri",
     "geqrf", "ormqr", "qr", "lstsq", "svd", "eigh",
     "emulate", "install", "refresh", "uninstall",
 ]

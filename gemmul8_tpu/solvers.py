@@ -40,7 +40,7 @@ from . import tables
 from .core import gemm
 
 __all__ = ["trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "potrs",
-           "posv", "inv"]
+           "posv", "inv", "trtri"]
 
 
 def _check_2d(x, name):
@@ -573,6 +573,37 @@ def inv(a: jax.Array, *, num_moduli: int = 8, fastmode="robust",
     eye = jnp.eye(a.shape[0], dtype=a.dtype)
     return lu_solve(lu, perm, eye, num_moduli=num_moduli, fastmode=fastmode,
                     backend=backend, block=block, mesh=mesh)
+
+
+def trtri(a: jax.Array, *, lower: bool = True, unit_diag: bool = False,
+          num_moduli: int = 8, fastmode="robust",
+          backend: str = tables.Backend.INT8, block: Optional[int] = None,
+          mesh=None) -> jax.Array:
+    """Triangular matrix inverse (LAPACK dtrtri/ztrtri analog).
+
+    Solves A @ X = I through the blocked :func:`trsm` (whose O(n^3)
+    substitution updates are emulated GEMMs), then re-masks to the input's
+    triangle: the complementary triangle of the computed X is exactly zero
+    mathematically, and masking keeps it exactly zero bit-for-bit
+    regardless of rounding in the updates. `unit_diag` inverts the
+    unit-diagonal interpretation of A (the result is then unit-diagonal
+    too, with the stored diagonal never read). `mesh` distributes the
+    update GEMMs like :func:`trsm` (n RHS columns satisfy the mesh
+    divisibility whenever the factorization's do).
+    """
+    a = jnp.asarray(a)
+    _check_2d(a, "A")
+    if a.shape[0] != a.shape[1]:
+        raise ValueError(f"trtri needs a square matrix, got {a.shape}")
+    eye = jnp.eye(a.shape[0], dtype=a.dtype)
+    x = trsm(a, eye, side="left", lower=lower, unit_diag=unit_diag,
+             num_moduli=num_moduli, fastmode=fastmode, backend=backend,
+             block=block, mesh=mesh)
+    x = jnp.tril(x) if lower else jnp.triu(x)
+    if unit_diag:
+        n = a.shape[0]
+        x = x - jnp.diag(jnp.diagonal(x)) + jnp.eye(n, dtype=a.dtype)
+    return x
 
 
 def solve(a: jax.Array, b: jax.Array, *, num_moduli: int = 8, fastmode="robust",
