@@ -13,7 +13,8 @@ from .core import (QuantizedOperand, gemm, gemm_batched, gemm_quantized,
 from .hook import emulate, install, refresh, uninstall
 from .eig import eigh, svd
 from .qr import geqrf, lstsq, ormqr, qr
-from .blas3 import hemm, her2k, symm, syr2k
+from .blas3 import (hemm, hemm_planar, her2k, her2k_planar, symm,
+                    symm_planar, syr2k)
 from .solvers import (getrf, inv, lu_solve, posv, potrf, potrs, solve, trmm,
                       trsm, trtri)
 from .tables import Backend
@@ -27,6 +28,7 @@ __all__ = [
     "Backend", "GemmConfig", "env_config", "tables", "compare",
     "choose_moduli", "modeled_max_rel_err",
     "syr2k", "her2k", "symm", "hemm",
+    "her2k_planar", "hemm_planar", "symm_planar",
     "trsm", "trmm", "getrf", "lu_solve", "solve", "potrf", "potrs", "posv",
     "inv", "trtri",
     "geqrf", "ormqr", "qr", "lstsq", "svd", "eigh",

@@ -31,9 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import tables
+from .complex_gemm import gemm_planar
 from .core import gemm
 
-__all__ = ["syr2k", "her2k", "symm", "hemm"]
+__all__ = ["syr2k", "her2k", "symm", "hemm",
+           "her2k_planar", "hemm_planar", "symm_planar"]
 
 
 def _check_real_scalar(x, name):
@@ -158,6 +160,83 @@ def symm(a: jax.Array, b: jax.Array, *, side: str = "left",
     """
     return _symm_hemm(a, b, side, lower, False, num_moduli, fastmode,
                       backend, alpha, beta, c, epilogue, "symm")
+
+
+def her2k_planar(ar: jax.Array, ai: jax.Array, br: jax.Array, bi: jax.Array,
+                 *, trans: bool = False, num_moduli: int = 8,
+                 fastmode="robust", backend: str = tables.Backend.INT8,
+                 alpha=1.0, epilogue: str = "auto"):
+    """Planar her2k: (Ar, Ai), (Br, Bi) -> (Cr, Ci) = alpha A B^H +
+    conj(alpha) B A^H, for accelerators whose runtimes lack complex dtypes
+    (see gemm_planar). Bit-identical to her2k() on complex views at
+    alpha=1 (general alpha applies the same complex-multiply formula on
+    the planes; a separately compiled program may contract it differently
+    by an ulp). Complex `alpha` on the planes: with G the one product,
+    Cr = P + P^T and Ci = Q - Q^T where P + iQ = alpha * G -- the real
+    plane exactly symmetric and the imaginary plane exactly antisymmetric
+    (zero diagonal) bit-for-bit.
+    """
+    gr, gi = gemm_planar(ar, ai, br, bi,
+                         trans_a="C" if trans else "N",
+                         trans_b="N" if trans else "C",
+                         num_moduli=num_moduli, fastmode=fastmode,
+                         backend=backend, epilogue=epilogue)
+    al = complex(alpha)
+    if al != 1:
+        a_r = jnp.asarray(al.real).astype(gr.dtype)
+        a_i = jnp.asarray(al.imag).astype(gr.dtype)
+        gr, gi = a_r * gr - a_i * gi, a_r * gi + a_i * gr
+    return gr + gr.T, gi - gi.T
+
+
+def _full_planar(ar, ai, lower, hermitian):
+    """Planar triangle mirror: real plane symmetric; imaginary plane
+    symmetric (complex-symmetric) or antisymmetric with a zero diagonal
+    (Hermitian -- the stored diagonal imaginary part is ignored per BLAS)."""
+    strict_r = jnp.tril(ar, -1) if lower else jnp.triu(ar, 1)
+    strict_i = jnp.tril(ai, -1) if lower else jnp.triu(ai, 1)
+    full_r = strict_r + strict_r.T + jnp.diag(jnp.diagonal(ar))
+    if hermitian:
+        full_i = strict_i - strict_i.T
+    else:
+        full_i = strict_i + strict_i.T + jnp.diag(jnp.diagonal(ai))
+    return full_r, full_i
+
+
+def _symm_hemm_planar(ar, ai, br, bi, side, lower, hermitian, num_moduli,
+                      fastmode, backend, epilogue):
+    if ar.shape[0] != ar.shape[1]:
+        raise ValueError(f"A must be square, got {ar.shape}")
+    if side not in ("left", "right"):
+        raise ValueError(f"side must be 'left' or 'right', got {side!r}")
+    full_r, full_i = _full_planar(jnp.asarray(ar), jnp.asarray(ai),
+                                  bool(lower), hermitian)
+    br = jnp.asarray(br)
+    bi = jnp.asarray(bi)
+    args = ((full_r, full_i, br, bi) if side == "left"
+            else (br, bi, full_r, full_i))
+    return gemm_planar(*args, num_moduli=num_moduli, fastmode=fastmode,
+                       backend=backend, epilogue=epilogue)
+
+
+def hemm_planar(ar, ai, br, bi, *, side: str = "left", lower: bool = True,
+                num_moduli: int = 8, fastmode="robust",
+                backend: str = tables.Backend.INT8, epilogue: str = "auto"):
+    """Planar hemm: herm(A) @ B (or B @ herm(A)) on separate real planes;
+    bit-identical to hemm() on complex views. Only the `lower` triangle of
+    (Ar, Ai) is read; the imaginary diagonal is ignored per BLAS."""
+    return _symm_hemm_planar(ar, ai, br, bi, side, lower, True, num_moduli,
+                             fastmode, backend, epilogue)
+
+
+def symm_planar(ar, ai, br, bi, *, side: str = "left", lower: bool = True,
+                num_moduli: int = 8, fastmode="robust",
+                backend: str = tables.Backend.INT8, epilogue: str = "auto"):
+    """Planar complex-symmetric symm (zsymm analog): sym(A) @ B with the
+    triangle mirrored WITHOUT conjugation; bit-identical to symm() on
+    complex views."""
+    return _symm_hemm_planar(ar, ai, br, bi, side, lower, False, num_moduli,
+                             fastmode, backend, epilogue)
 
 
 def hemm(a: jax.Array, b: jax.Array, *, side: str = "left",

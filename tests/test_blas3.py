@@ -219,3 +219,62 @@ def test_trtri_c128():
     x = np.asarray(g8.trtri(jnp.asarray(a), num_moduli=NU))
     resid = np.max(np.abs(a @ x - np.eye(n))) / n
     assert resid < 1e-13
+
+
+# --------------------------------------------------------------------------
+# planar entries (device-native complex for runtimes without complex dtypes)
+# --------------------------------------------------------------------------
+
+def test_her2k_planar_bit_identity():
+    rng = _rng(10)
+    n, k = 56, 40
+    ar, ai = rng.standard_normal((n, k)), rng.standard_normal((n, k))
+    br, bi = rng.standard_normal((n, k)), rng.standard_normal((n, k))
+    z = np.asarray(g8.her2k(jnp.asarray(ar + 1j * ai),
+                            jnp.asarray(br + 1j * bi), num_moduli=NU))
+    cr, ci = g8.her2k_planar(*(jnp.asarray(x) for x in (ar, ai, br, bi)),
+                             num_moduli=NU)
+    assert np.array_equal(np.asarray(cr), z.real)
+    assert np.array_equal(np.asarray(ci), z.imag)
+    # planar structure: real plane exactly symmetric, imag antisymmetric
+    assert np.array_equal(np.asarray(cr), np.asarray(cr).T)
+    assert np.array_equal(np.asarray(ci), -np.asarray(ci).T)
+    assert np.all(np.diagonal(np.asarray(ci)) == 0.0)
+
+
+def test_her2k_planar_alpha():
+    rng = _rng(11)
+    n, k = 48, 32
+    ar, ai = rng.standard_normal((n, k)), rng.standard_normal((n, k))
+    br, bi = rng.standard_normal((n, k)), rng.standard_normal((n, k))
+    alpha = 0.5 - 1.5j
+    cr, ci = g8.her2k_planar(*(jnp.asarray(x) for x in (ar, ai, br, bi)),
+                             num_moduli=NU, alpha=alpha)
+    a = ar + 1j * ai
+    b = br + 1j * bi
+    want = alpha * (a @ b.conj().T) + np.conj(alpha) * (b @ a.conj().T)
+    got = np.asarray(cr) + 1j * np.asarray(ci)
+    assert _relerr(got, want) < 5e-14
+
+
+@pytest.mark.parametrize("routine,hermitian", [("hemm_planar", True),
+                                               ("symm_planar", False)])
+def test_symm_hemm_planar(routine, hermitian):
+    rng = _rng(12)
+    n, m = 48, 32
+    h = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    full = h + (h.conj().T if hermitian else h.T)
+    br = rng.standard_normal((n, m))
+    bi = rng.standard_normal((n, m))
+    fn = getattr(g8, routine)
+    cr, ci = fn(jnp.asarray(np.tril(full.real)), jnp.asarray(np.tril(full.imag)),
+                jnp.asarray(br), jnp.asarray(bi), num_moduli=NU)
+    want = full @ (br + 1j * bi)
+    got = np.asarray(cr) + 1j * np.asarray(ci)
+    assert _relerr(got, want) < 5e-14
+    # bit-identity with the complex entry on complex views
+    cplx_fn = g8.hemm if hermitian else g8.symm
+    z = np.asarray(cplx_fn(jnp.asarray(np.tril(full)),
+                           jnp.asarray(br + 1j * bi), num_moduli=NU))
+    assert np.array_equal(np.asarray(cr), z.real)
+    assert np.array_equal(np.asarray(ci), z.imag)
