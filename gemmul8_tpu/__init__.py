@@ -4,7 +4,7 @@ Emulates SGEMM/DGEMM/CGEMM/ZGEMM on the TPU's int8 MXU with bit-reproducible
 results and a selectable num_moduli accuracy/speed dial. A from-scratch
 JAX/XLA/Pallas design with the capabilities of RIKEN-RCCS/GEMMul8 (see SURVEY.md).
 """
-from . import compare, tables
+from . import compare, compat, tables
 from .accuracy_model import choose_moduli, modeled_max_rel_err
 from .config import GemmConfig, env_config
 from .complex_gemm import gemm_planar, herk, herk_planar
@@ -25,7 +25,7 @@ __all__ = [
     "gemm", "matmul", "syrk", "gemm_batched", "gemm_quantized", "precompute",
     "QuantizedOperand", "work_bytes", "gemm_with_phases", "gemm_planar",
     "herk", "herk_planar",
-    "Backend", "GemmConfig", "env_config", "tables", "compare",
+    "Backend", "GemmConfig", "env_config", "tables", "compare", "compat",
     "choose_moduli", "modeled_max_rel_err",
     "syr2k", "her2k", "symm", "hemm",
     "her2k_planar", "hemm_planar", "symm_planar",
