@@ -33,13 +33,22 @@ _W = 7                       # slice width (bits) for OS1: products 2^14 * k <= 
 
 
 def _bf16_split3(x: jax.Array):
-    """Exact 3-way bfloat16 split: x == hi + mid + lo + O(2^-48) residual."""
-    hi = x.astype(jnp.bfloat16)
-    r1 = x - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    r2 = r1 - mid.astype(jnp.float32)
-    lo = r2.astype(jnp.bfloat16)
-    return hi, mid, lo
+    """Exact 3-way bfloat16 split: x == hi + mid + lo + O(2^-48) residual.
+
+    The rounding must be `lax.reduce_precision` (8 exponent / 7 mantissa
+    bits == bf16's grid, round-to-nearest-even, staying in f32), NOT an
+    f32->bf16->f32 convert round-trip: XLA:TPU's excess-precision pass
+    elides convert round-trips, which silently zeroed the mid/lo planes and
+    collapsed bf16x9 to single-bf16-pass quality ON DEVICE while the CPU
+    path stayed correct (measured: tools/probe_bf16x9.py). The final casts
+    to bf16 are exact (the values already sit on bf16's grid)."""
+    hi_f = jax.lax.reduce_precision(x, 8, 7)
+    r1 = x - hi_f
+    mid_f = jax.lax.reduce_precision(r1, 8, 7)
+    r2 = r1 - mid_f
+    lo_f = jax.lax.reduce_precision(r2, 8, 7)
+    return (hi_f.astype(jnp.bfloat16), mid_f.astype(jnp.bfloat16),
+            lo_f.astype(jnp.bfloat16))
 
 
 @jax.jit

@@ -207,9 +207,16 @@ def extract_ub_with_pre(ax: jax.Array, sft_pre: jax.Array, reduce_axis: int,
     ub = jnp.where(ax > 0, jnp.maximum(ub, 1.0), 0.0)
     if backend == tables.Backend.INT8:
         return ub.astype(jnp.int8)
-    b = ub.astype(jnp.bfloat16)
-    # round up: if the bf16 cast rounded down, bump one ulp (values are >= 0)
-    low = b.astype(jnp.float32) < ub
+    # Round-down detection must use lax.reduce_precision (bf16's 8/7-bit
+    # grid, RNE, staying in f32), NOT a b.astype(f32) round-trip of the
+    # bf16 cast: XLA:TPU's excess-precision pass elides convert
+    # round-trips, which made `low` constant-False on device and let the
+    # "upper bound" silently round DOWN past bf16's integer-exact range
+    # (found via tools/probe_bf16x9.py; CPU was never affected).
+    bf = jax.lax.reduce_precision(ub, 8, 7)
+    b = bf.astype(jnp.bfloat16)  # exact: bf already sits on bf16's grid
+    # round up: if RNE rounded down, bump one ulp (values are >= 0)
+    low = bf < ub
     bumped = jax.lax.bitcast_convert_type(
         jax.lax.bitcast_convert_type(b, jnp.int16) + jnp.int16(1),
         jnp.bfloat16)
