@@ -113,9 +113,11 @@ def test_qr_bit_reproducible():
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
 
 
-def test_qr_rejects_complex_and_bad_shapes():
-    with pytest.raises(NotImplementedError):
-        qrmod.geqrf(jnp.ones((4, 4), jnp.complex64))
+def test_qr_accepts_complex_and_rejects_bad_shapes():
+    # complex geqrf is SUPPORTED since the zgeqrf-analog landed (full
+    # correctness coverage in test_solvers_complex.py::test_zgeqrf_*)
+    packed_c, taus_c = qrmod.geqrf(jnp.eye(4, dtype=jnp.complex64) * 2)
+    assert packed_c.dtype == jnp.complex64 and taus_c.shape == (4,)
     with pytest.raises(ValueError):
         qrmod.geqrf(jnp.ones(4))
     with pytest.raises(ValueError):  # lstsq needs m >= n

@@ -147,9 +147,15 @@ def test_ormqr_complex_roundtrip():
     assert np.max(np.abs(qh_q - np.eye(m))) < 1e-11
 
 
-def test_eig_complex_raises_cleanly():
-    a = jnp.asarray(cplx(16, 16))
-    with pytest.raises((NotImplementedError, TypeError, ValueError)):
-        g8.eigh(a)
-    with pytest.raises((NotImplementedError, TypeError, ValueError)):
-        g8.svd(a)
+def test_eig_complex_supported():
+    # complex svd/eigh are SUPPORTED since the zheev/zgesvd analogs landed
+    # (deep coverage in test_eig.py); pin the capability here where the old
+    # raises-NotImplementedError assertion lived.
+    a = cplx(16, 16)
+    herm = (a + a.conj().T) / 2
+    w, _ = g8.eigh(jnp.asarray(herm))
+    wref = np.linalg.eigvalsh(herm)
+    assert np.max(np.abs(np.sort(np.asarray(w)) - wref)) < 1e-11
+    s = np.asarray(g8.svd(jnp.asarray(a), compute_uv=False))
+    sref = np.linalg.svd(a, compute_uv=False)
+    assert np.max(np.abs(np.sort(s)[::-1] - sref)) < 1e-11
