@@ -104,17 +104,24 @@ def _check_case(dtype, nu, fastmode, m, k, n, ta, tb, alpha, beta):
     (np.float32, (5, 8, 12)), (np.float64, (9, 14, 20)),
     (np.complex64, (5, 8, 13)), (np.complex128, (9, 14, 20))])
 @pytest.mark.parametrize("fastmode", [True, False, "robust"])
-def test_exhaustive_debug_product(dtype, nus, fastmode):
+@pytest.mark.parametrize("size", [33, 40, 47])
+def test_exhaustive_debug_product(dtype, nus, fastmode, size):
     """The reference's full correctness product (debug/test.cu:247-299):
     every op pair x every (alpha, beta) class (incl. complex alpha) x the
     num_moduli sweep at three odd cube sizes. No index-rotation subsampling:
     a wrong-result bug confined to a single (op, alpha, beta, mode) cell
-    cannot slip through."""
+    cannot slip through.
+
+    The size axis is parametrized so tools/run_exhaustive.sh can run each
+    (mode, dtype, size) sub-cell in its OWN pytest process: jaxlib's XLA:CPU
+    compiler has segfaulted inside backend_compile_and_load in ~50-minute
+    single-process compile marathons (complex128 cells, ~1500 distinct
+    programs); shorter processes avoid the flaky native crash entirely."""
     is_cplx = np.issubdtype(dtype, np.complexfloating)
     ops = ["N", "T", "C"] if is_cplx else ["N", "T"]
     ab_pairs = [(1.0, 0.0), (1.0, 1.0), (-1.0, 1.0), (-1.5, 1.2), (0.5, -2.0)]
     if is_cplx:
         ab_pairs.append((1.5 - 0.5j, -0.25 + 1.0j))
-    for size, (ta, tb), (alpha, beta), nu in itertools.product(
-            (33, 40, 47), itertools.product(ops, ops), ab_pairs, nus):
+    for (ta, tb), (alpha, beta), nu in itertools.product(
+            itertools.product(ops, ops), ab_pairs, nus):
         _check_case(dtype, nu, fastmode, size, size, size, ta, tb, alpha, beta)
