@@ -19,8 +19,10 @@ mkdir -p $L
 SUMMARY=tools/logs/exhaustive_summary.log
 FAIL=0
 echo "=== size-split runner start $(date -u +%H:%M:%S) ===" >> $SUMMARY
-for mode in True False robust; do
-  for cell in float32-nus0 float64-nus1 complex64-nus2 complex128-nus3; do
+# dtype-major order, complex128 LAST: its sub-cells are ~35-min compiles
+# each; if wall clock runs out, the cheap cells are already green.
+for cell in float32-nus0 float64-nus1 complex64-nus2 complex128-nus3; do
+  for mode in True False robust; do
     # full-cell green logs from the pre-split runner cover all 3 sizes
     if grep -q "1 passed" "$L/${mode}-${cell}.log" 2>/dev/null; then
       echo "SKIP (full cell already green) ${mode}-${cell}" >> $SUMMARY
